@@ -1,0 +1,229 @@
+"""Deterministic synthetic page corpus (FIXTURES.md §1).
+
+Mirrors the reference's fixture strategy — small, stable, synthetic
+datasets covering normal plus curated problem cases
+(/root/reference/testing/fmask-generate-test-data.py:26-70,
+"Small and stable but ... not real pixels") — recast as Common-Crawl
+style pages with the BASELINE.json input_hint shape:
+
+    url: string, warc_ts: timestamp, html: binary, text: string,
+    lang: string  (+ hidden _case column, tests only)
+
+Everything is a pure function of (n_rows, seed); numpy RandomState
+keeps it reproducible across runs and machines.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+from eugl_spark import constants as C
+
+# (case, weight) — weights normalized; covers every row class from
+# FIXTURES.md §1.
+CASES: tuple[tuple[str, float], ...] = (
+    ("clean_en", 0.42),
+    ("clean_de", 0.05),
+    ("clean_fr", 0.03),
+    ("wrong_lang", 0.05),
+    ("high_ppl", 0.06),
+    ("too_short", 0.04),
+    ("too_long", 0.02),
+    ("symbol_heavy", 0.04),
+    ("repetitive", 0.04),
+    ("no_stopwords", 0.04),
+    ("pii_email", 0.05),
+    ("pii_phone", 0.04),
+    ("pii_ip", 0.03),
+    ("toxic_term", 0.03),
+    ("empty_text", 0.02),
+    ("null_both", 0.01),
+    ("boundary_short", 0.01),
+    ("boundary_symbol", 0.01),
+    ("html_only", 0.05),
+)
+
+N_HOSTS = 200
+
+
+def _chain(lang: str, n_words: int, rng: np.random.RandomState,
+           avoid_stopwords: bool = False) -> list[str]:
+    """Walk the fixed successor graph → text the bigram LM scores as seen."""
+    vocab = C.WORDS[lang]
+    stop = set(C.EN_STOPWORDS) if avoid_stopwords else set()
+    if avoid_stopwords:
+        start_pool = [w for w in vocab if w not in stop]
+        word = start_pool[rng.randint(len(start_pool))]
+    else:
+        word = vocab[rng.randint(len(vocab))]
+    out = [word]
+    for _ in range(n_words - 1):
+        succ = C.successors(lang, word)
+        if avoid_stopwords:
+            allowed = [s for s in succ if s not in stop]
+            if allowed:
+                word = allowed[rng.randint(len(allowed))]
+            else:  # all successors are stop words: deterministic escape
+                i = vocab.index(word)
+                word = vocab[16 + ((i * 7) % 32)]
+        else:
+            word = succ[rng.randint(len(succ))]
+        out.append(word)
+    return out
+
+
+def _lines(words: list[str], per_line: int = 12) -> str:
+    return "\n".join(
+        " ".join(words[i : i + per_line])
+        for i in range(0, len(words), per_line)
+    )
+
+
+def _make_text(case: str, rng: np.random.RandomState) -> tuple[str | None, str]:
+    """Return (text, effective_lang) for a row class."""
+    if case == "null_both" or case == "html_only":
+        return None, "en"
+    if case == "empty_text":
+        return "", "en"
+    if case == "clean_de":
+        return _lines(_chain("de", 40 + rng.randint(40), rng)), "de"
+    if case == "clean_fr":
+        return _lines(_chain("fr", 40 + rng.randint(40), rng)), "fr"
+    if case == "wrong_lang":
+        lang = ("de", "fr", "es", "it")[rng.randint(4)]
+        return _lines(_chain(lang, 40 + rng.randint(40), rng)), lang
+    if case == "high_ppl":
+        vocab = C.WORDS["en"]
+        words = [vocab[rng.randint(len(vocab))] for _ in range(60)]
+        return _lines(words), "en"
+    if case == "too_short":
+        return " ".join(_chain("en", 6, rng))[: C.MIN_CHARS - 10], "en"
+    if case == "too_long":
+        return _lines(_chain("en", 1800, rng)), "en"
+    if case == "boundary_short":
+        base = _lines(_chain("en", 30, rng))
+        text = base[: C.MIN_CHARS]
+        if text.endswith(" ") or text.endswith("\n"):
+            text = text[:-1] + "x"
+        return text, "en"
+    if case == "symbol_heavy":
+        base = " ".join(_chain("en", 30, rng))
+        n_sym = int(len(base) * 0.25)
+        return base + " " + "@#$%^&*" * (n_sym // 7 + 1), "en"
+    if case == "boundary_symbol":
+        words = _chain("en", 40, rng)
+        base = " ".join(words)
+        # exactly MAX_SYMBOL_RATIO: pad alnum/space to a multiple of 9,
+        # then add 1 symbol per 9 clean chars (ratio = n/(9n+n) = 0.1)
+        pad = (9 - len(base) % 9) % 9
+        base = base + "x" * pad
+        n_sym = len(base) // 9
+        return base + "#" * n_sym, "en"
+    if case == "repetitive":
+        line = " ".join(_chain("en", 12, rng))
+        other = " ".join(_chain("en", 12, rng))
+        return "\n".join([line] * 8 + [other]), "en"
+    if case == "no_stopwords":
+        return _lines(_chain("en", 50, rng, avoid_stopwords=True)), "en"
+    body = _chain("en", 50 + rng.randint(30), rng)
+    if case == "pii_email":
+        ins = f"user{rng.randint(1000)}@mail{rng.randint(100)}.example.com"
+    elif case == "pii_phone":
+        ins = f"+{rng.randint(1, 99)} {rng.randint(100, 999)} {rng.randint(100, 999)} {rng.randint(1000, 9999)}"
+    elif case == "pii_ip":
+        ins = ".".join(str(rng.randint(1, 255)) for _ in range(4))
+    elif case == "toxic_term":
+        ins = C.TOXIC_TERMS[rng.randint(len(C.TOXIC_TERMS))]
+    else:  # clean_en
+        ins = None
+    if ins is not None:
+        body.insert(rng.randint(len(body)), ins)
+    return _lines(body), "en"
+
+
+def _wrap_html(text: str, rng: np.random.RandomState) -> bytes:
+    paras = "\n".join(f"<p>{ln}</p>" for ln in text.split("\n"))
+    script = (
+        "<script type='text/javascript'>var x = 1; tracker(x);</script>"
+        if rng.rand() < 0.3
+        else ""
+    )
+    nav = "<div class='nav'>home &amp; about</div>" if rng.rand() < 0.3 else ""
+    html = (
+        f"<html><head><title>doc</title>{script}</head>"
+        f"<body>{nav}\n{paras}\n</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def generate_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """The synthetic `pages` table (pandas; write with Spark or pyarrow)."""
+    rng = np.random.RandomState(seed)
+    names = [c for c, _ in CASES]
+    weights = np.array([w for _, w in CASES])
+    weights = weights / weights.sum()
+    case_idx = rng.choice(len(names), size=n_rows, p=weights)
+    # Zipf host distribution → a few hot hosts (exercises salting).
+    host_w = 1.0 / np.arange(1, N_HOSTS + 1)
+    host_w /= host_w.sum()
+    host_idx = rng.choice(N_HOSTS, size=n_rows, p=host_w)
+    t0 = datetime(2024, 1, 1)
+
+    rows = []
+    for i in range(n_rows):
+        case = names[case_idx[i]]
+        text, true_lang = _make_text(case, rng)
+        # claimed lang is wrong for wrong_lang rows and ~5% of the rest
+        if case == "wrong_lang":
+            lang = "en"
+        elif rng.rand() < 0.05:
+            lang = ("zz", None, "en", "de")[rng.randint(4)]
+        else:
+            lang = true_lang
+        html: bytes | None
+        if case == "null_both":
+            html, text_col = None, None
+        elif case == "html_only":
+            body = _lines(_chain("en", 50 + rng.randint(30), rng))
+            html, text_col = _wrap_html(body, rng), None
+        else:
+            assert text is not None
+            html = _wrap_html(text, rng) if rng.rand() > 0.10 else None
+            text_col = text if (html is None or rng.rand() > 0.10) else None
+        rows.append(
+            {
+                "url": f"https://www.site{host_idx[i]}.example/p/{i}",
+                "warc_ts": t0 + timedelta(seconds=int(rng.randint(0, 365 * 86400))),
+                "html": html,
+                "text": text_col,
+                "lang": lang,
+                "_case": case,
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    return df
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
+    """Write the corpus as parquet (pyarrow; no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_pages(n_rows, seed)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("_case", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, path)
+    return path

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs one JVM (`local[N]`); the configs are chosen so the
+same code is correct on a 1000-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), UTC session timezone
+(oracle comparability), Arrow enabled for the pandas-UDF stages.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make eugl_spark importable on Python workers.
+
+    The programmatic equivalent of ``spark-submit --py-files`` (the
+    reference ships code by PYTHONPATH-prepending,
+    /root/reference/testing/README.md:20-21): zip the package and
+    addPyFile it, so pandas-UDF closures that reference module globals
+    (model tables in eugl_spark.models.*) deserialize on any worker,
+    local or cluster.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "eugl_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def get_spark(
+    app: str = "eugl_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("EUGL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # decode(html,'UTF-8') must REPLACE malformed bytes (U+FFFD), not
+        # fail the job: raw web html is routinely mis-encoded. Matches the
+        # oracle's bytes.decode(errors='replace').
+        .config("spark.sql.legacy.codingErrorAction", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
