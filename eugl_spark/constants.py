@@ -118,9 +118,9 @@ DROP_PRECEDENCE: tuple[str, ...] = (
     "too_short",
     "too_long",
     "symbol_ratio",
+    "repetition",
     "too_few_words",
     "word_length",
-    "repetition",
     "langid",
     "stopword_fraction",
     "perplexity",

@@ -225,5 +225,7 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
         ]
     )
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    # small row groups: a single-row-group file caps scan parallelism at
+    # 1 task no matter the cluster size (real CC tables are many files)
+    pq.write_table(table, path, row_group_size=8192)
     return path

@@ -26,18 +26,37 @@ from pyspark.sql import types as T
 from eugl_spark import constants as C
 
 
-def _encode_profiles() -> dict[str, np.ndarray]:
-    out = {}
-    for lang in C.LANGS:
-        codes = sorted(
-            (ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2])
-            for g in C.TRIGRAM_PROFILES[lang]
-        )
-        out[lang] = np.asarray(codes, dtype=np.int64)
-    return out
+# Token strings contain only [a-z ] (constants.TOKEN_RE): a 27-symbol
+# alphabet, so the trigram space is 27^3 = 19,683 — the bitmask LUT
+# (bit i ⇔ trigram in LANGS[i]'s profile) fits in L1/L2 cache and the
+# per-batch gather is cache-resident rather than thrashing a 2^24
+# table. Built once at module import (workers import the shipped pkg).
+_ALPHA = 27
 
 
-_PROFILE_CODES = _encode_profiles()
+def _charmap() -> np.ndarray:
+    m = np.zeros(256, dtype=np.int32)  # space and everything else → 0
+    for i in range(26):
+        m[ord("a") + i] = i + 1
+    return m
+
+
+def _build_lut() -> np.ndarray:
+    lut = np.zeros(_ALPHA**3, dtype=np.uint8)
+    cm = _charmap()
+    for i, lang in enumerate(C.LANGS):
+        for g in C.TRIGRAM_PROFILES[lang]:
+            code = (
+                cm[ord(g[0])] * _ALPHA * _ALPHA
+                + cm[ord(g[1])] * _ALPHA
+                + cm[ord(g[2])]
+            )
+            lut[code] |= np.uint8(1 << i)
+    return lut
+
+
+_CHARMAP = _charmap()
+_LUT = _build_lut()
 
 RESULT_TYPE = T.StructType(
     [
@@ -58,30 +77,33 @@ def detect_batch(token_str: pd.Series) -> pd.DataFrame:
     s = token_str.fillna("")
     padded = (" " + s + " ").to_numpy(dtype=object)
     lens = np.fromiter((len(x) for x in padded), dtype=np.int64, count=n_docs)
-    buf = np.frombuffer("".join(padded).encode("ascii"), dtype=np.uint8)
-    total = int(lens.sum())
+    # two sentinel spaces so every doc owns exactly len_i trigram
+    # positions and reduceat boundaries never fall off the end
+    buf = np.frombuffer(
+        ("".join(padded) + "  ").encode("ascii"), dtype=np.uint8
+    )
 
-    if total < 3:
+    if len(buf) < 5:
         return pd.DataFrame(
             {"lang": ["und"] * n_docs, "confidence": [np.nan] * n_docs}
         )
 
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    codes = (
-        (buf[:-2].astype(np.int64) << 16)
-        | (buf[1:-1].astype(np.int64) << 8)
-        | buf[2:].astype(np.int64)
-    )
-    # a trigram at position p belongs to a doc iff p and p+2 are in it
-    valid = doc_of[:-2] == doc_of[2:]
-    tri_doc = doc_of[:-2][valid]
-    tri_codes = codes[valid]
+    # doc i's positions are [start_i, start_i + len_i); trigrams that
+    # span a doc boundary necessarily contain a mid-trigram space and
+    # are in no profile (profiles pad single words), so they add 0 to
+    # every hit count — no per-position doc-id array needed.
+    c0 = _CHARMAP[buf[:-2]]
+    codes = c0 * (_ALPHA * _ALPHA) + _CHARMAP[buf[1:-1]] * _ALPHA + _CHARMAP[buf[2:]]
+    bits = _LUT[codes]
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
 
-    n_grams = np.bincount(tri_doc, minlength=n_docs).astype(np.int64)
+    n_grams = np.maximum(lens - 2, 0)  # == oracle's len(padded_str) - 2
     counts = np.zeros((len(C.LANGS), n_docs), dtype=np.int64)
-    for i, lang in enumerate(C.LANGS):
-        hit = np.isin(tri_codes, _PROFILE_CODES[lang])
-        counts[i] = np.bincount(tri_doc[hit], minlength=n_docs)
+    for i in range(len(C.LANGS)):
+        hits = ((bits >> i) & 1).astype(np.int32)
+        counts[i] = np.add.reduceat(hits, starts)
+        counts[i][n_grams == 0] = 0
 
     best_i = counts.argmax(axis=0)  # first max wins — LANGS-order tie-break
     best_n = counts[best_i, np.arange(n_docs)]

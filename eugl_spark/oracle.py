@@ -123,6 +123,13 @@ def label_row(url: str, html: bytes | None, text: str | None) -> dict:
         out["drop_reason"] = "symbol_ratio"
         return out
 
+    lines = t.split("\n")
+    dup_frac = 1.0 - len(set(lines)) / len(lines)
+    out["qa_dup_line_fraction"] = dup_frac
+    if dup_frac > C.MAX_DUP_LINE_FRACTION:
+        out["drop_reason"] = "repetition"
+        return out
+
     tokens = _TOKEN.findall(t.lower())
     n_words = len(tokens)
     out["qa_n_words"] = n_words
@@ -134,13 +141,6 @@ def label_row(url: str, html: bytes | None, text: str | None) -> dict:
     out["qa_mean_word_len"] = mean_wl
     if mean_wl < C.MIN_MEAN_WORD_LEN or mean_wl > C.MAX_MEAN_WORD_LEN:
         out["drop_reason"] = "word_length"
-        return out
-
-    lines = t.split("\n")
-    dup_frac = 1.0 - len(set(lines)) / len(lines)
-    out["qa_dup_line_fraction"] = dup_frac
-    if dup_frac > C.MAX_DUP_LINE_FRACTION:
-        out["drop_reason"] = "repetition"
         return out
 
     lang, conf = detect_lang(tokens)

@@ -2,21 +2,18 @@
 
 The reference's luigi DAG (fmask → gqa → s2cloudless per granule,
 /root/reference/eugl/gqa/tasks.py:90-106) collapses into a single
-Catalyst plan: extract → heuristics → langid → perplexity → scrub →
-verdict → qa struct. Catalyst is the scheduler; stage *gating* order
-is ours (cheap native rules first, expensive UDFs only on survivors —
-the land/ocean cheap-first branch of eugl/gqa/tasks.py:152-163).
+Catalyst plan: salted repartition → consolidated per-document QA
+kernel (ONE Arrow boundary: extract → tokenize → heuristic metrics →
+langid → perplexity → scrub, see models/doc_kernel.py for why one
+boundary) → native verdict when-chain → qa struct → bucketed output.
 
-Gating works by feeding NULL into a UDF for rows already dropped:
-pandas UDFs are evaluated for every row of a batch regardless of
-`when()` branches, so we mask the *input*, which short-circuits the
-vectorized kernels to NaN at near-zero cost and keeps one plan (no
-row-set splits, no union).
-
-Drop-reason precedence = constants.DROP_PRECEDENCE; a metric is
-exposed in the qa struct only if evaluation reached its rule, matching
-the oracle exactly (NaN-doc pattern of
-/root/reference/eugl/gqa/geometric_utils.py:434-450).
+Catalyst owns the relational work: gating precedence, hashing,
+partitioning, pruning — a keep-rate aggregation over the output only
+reads scalar columns. Drop-reason precedence = constants
+.DROP_PRECEDENCE; the kernel computes each metric only if evaluation
+reached its rule (the oracle's NaN-doc pattern,
+/root/reference/eugl/gqa/geometric_utils.py:434-450), so the qa
+struct is oracle-shaped by construction.
 """
 
 from __future__ import annotations
@@ -25,19 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eugl_spark import constants as C
-from eugl_spark.functions import extract as X
-from eugl_spark.functions import heuristics as H
-from eugl_spark.functions import scrub as S
-from eugl_spark.models.langid import langid_udf
-from eugl_spark.models.perplexity import perplexity_udf
-
-# rule index in DROP_PRECEDENCE at which each qa metric is computed
-_METRIC_RULE_IDX = {
-    "n_chars": 1, "symbol_ratio": 3, "n_words": 4, "mean_word_len": 5,
-    "dup_line_fraction": 6, "detected_lang": 7, "langid_confidence": 7,
-    "stopword_fraction": 8, "avg_nll": 9,
-}
-_REASON_IDX = {r: i for i, r in enumerate(C.DROP_PRECEDENCE)}
+from eugl_spark.models.doc_kernel import qa_kernel_udf
 
 
 def host(url: Column) -> Column:
@@ -61,162 +46,99 @@ def salt(url: Column) -> Column:
     return F.pmod(F.xxhash64(url), F.lit(C.SALT_FACTOR)).cast("int")
 
 
-def _first_reason(*pairs: tuple[Column, str]) -> Column:
-    """when-chain: first failing rule wins (DROP_PRECEDENCE order)."""
-    expr = F.lit(None).cast("string")
-    for cond, reason in reversed(pairs):
-        expr = F.when(cond, F.lit(reason)).otherwise(expr)
-    return expr
-
-
-def apply_pipeline(pages: DataFrame, with_udf_stages: bool = True) -> DataFrame:
+def apply_pipeline(
+    pages: DataFrame,
+    with_udf_stages: bool = True,  # kept for API compat; kernel always runs
+    repartition_to: int | None = None,
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → labeled documents.
 
-    Returns the input columns (minus html — the fat column is pruned
-    after extraction) plus text_extracted, scrubbed_text, qa struct,
-    keep, drop_reason, bucket.
+    Returns the input columns (minus html — the fat column is consumed
+    by the kernel and pruned) plus text_extracted, scrubbed_text,
+    qa struct, keep, drop_reason, bucket.
+
+    Partitioning policy (north_rule skew clause): the kernel is a
+    stateless map, so it runs at SCAN parallelism — no shuffle of the
+    fat html/text columns (session.py keeps maxPartitionBytes small so
+    splits, not files, set the width). The salted repartition on
+    (bucket, salt(url)) happens AFTER the kernel, where keys matter:
+    it clusters rows for the bucketed write / downstream keyed ops and
+    splits a hot host's bucket across SALT_FACTOR tasks. Only the
+    labeled rows (no html) shuffle. An explicit partition count is
+    used so AQE's coalescer (which optimizes for shuffle-size, not
+    CPU) can't re-serialize the write stage. repartition_to=0 disables
+    (tiny inputs / streaming).
     """
-    t = X.text_extracted(F.col("text"), F.col("html"))
-    df = pages.withColumn("text_extracted", t)
+    if repartition_to is None:
+        repartition_to = int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
 
-    te = F.col("text_extracted")
-    toks = H.tokens(te)
-    df = (
-        df.withColumn("_toks", toks)
-        .withColumn("_n_chars", H.n_chars(te))
-        .withColumn("_symbol_ratio", H.symbol_ratio(te))
-        .withColumn("_n_words", H.n_words(F.col("_toks")))
-        .withColumn("_mean_word_len", H.mean_word_len(F.col("_toks")))
-        .withColumn("_dup_line_fraction", H.dup_line_fraction(te))
-        .withColumn("_stopword_fraction", H.stopword_fraction(F.col("_toks")))
-    )
+    # html crosses the boundary only for rows that need extraction
+    html_in = F.when(F.col("text").isNull(), F.col("html"))
+    df = pages.withColumn("_k", qa_kernel_udf(F.col("text"), html_in))
 
-    pre_reason = _first_reason(
-        (te.isNull() | (te == ""), "no_content"),
-        (F.col("_n_chars") < C.MIN_CHARS, "too_short"),
-        (F.col("_n_chars") > C.MAX_CHARS, "too_long"),
-        (F.col("_symbol_ratio") > C.MAX_SYMBOL_RATIO, "symbol_ratio"),
-        (F.col("_n_words") < C.MIN_WORDS, "too_few_words"),
-        (
-            (F.col("_mean_word_len") < C.MIN_MEAN_WORD_LEN)
-            | (F.col("_mean_word_len") > C.MAX_MEAN_WORD_LEN),
+    k = F.col("_k")
+    te = k.getField("text_extracted")
+    drop_reason = (
+        F.when(te.isNull() | (te == ""), "no_content")
+        .when(k.getField("n_chars") < C.MIN_CHARS, "too_short")
+        .when(k.getField("n_chars") > C.MAX_CHARS, "too_long")
+        .when(k.getField("symbol_ratio") > C.MAX_SYMBOL_RATIO, "symbol_ratio")
+        .when(
+            k.getField("dup_line_fraction") > C.MAX_DUP_LINE_FRACTION,
+            "repetition",
+        )
+        .when(k.getField("n_words") < C.MIN_WORDS, "too_few_words")
+        .when(
+            (k.getField("mean_word_len") < C.MIN_MEAN_WORD_LEN)
+            | (k.getField("mean_word_len") > C.MAX_MEAN_WORD_LEN),
             "word_length",
-        ),
-        (F.col("_dup_line_fraction") > C.MAX_DUP_LINE_FRACTION, "repetition"),
+        )
+        .when(
+            ~k.getField("lang").isin(*sorted(C.TARGET_LANGS)), "langid"
+        )
+        .when(
+            k.getField("stopword_fraction") < C.MIN_STOPWORD_FRACTION,
+            "stopword_fraction",
+        )
+        .when(k.getField("avg_nll") > C.MAX_AVG_NLL, "perplexity")
     )
-    df = df.withColumn("_pre_reason", pre_reason)
-
-    if with_udf_stages:
-        gate1 = F.col("_pre_reason").isNull()
-        df = df.withColumn(
-            "_lid",
-            langid_udf(
-                F.when(gate1, F.concat_ws(" ", F.col("_toks"))).otherwise(
-                    F.lit(None)
-                )
-            ),
-        )
-        lang_ok = F.col("_lid.lang").isin(*sorted(C.TARGET_LANGS))
-        reason2 = F.coalesce(
-            F.col("_pre_reason"),
-            F.when(~lang_ok, F.lit("langid")),
-            F.when(
-                F.col("_stopword_fraction") < C.MIN_STOPWORD_FRACTION,
-                F.lit("stopword_fraction"),
-            ),
-        )
-        df = df.withColumn("_reason2", reason2)
-        gate2 = F.col("_reason2").isNull()
-        df = df.withColumn(
-            "_avg_nll",
-            perplexity_udf(
-                F.when(gate2, F.col("_toks")).otherwise(F.lit(None)),
-                F.col("_lid.lang"),
-            ),
-        )
-        drop_reason = F.coalesce(
-            F.col("_reason2"),
-            F.when(
-                ~F.isnan(F.col("_avg_nll"))
-                & (F.col("_avg_nll") > C.MAX_AVG_NLL),
-                F.lit("perplexity"),
-            ),
-        )
-    else:
-        df = (
-            df.withColumn(
-                "_lid",
-                F.struct(
-                    F.lit(None).cast("string").alias("lang"),
-                    F.lit(None).cast("double").alias("confidence"),
-                ),
-            )
-            .withColumn("_avg_nll", F.lit(None).cast("double"))
-            .withColumn("_reason2", F.col("_pre_reason"))
-        )
-        drop_reason = F.col("_pre_reason")
-
     df = df.withColumn("drop_reason", drop_reason)
     df = df.withColumn("keep", F.col("drop_reason").isNull())
 
-    # metric visibility: shown only if evaluation reached its rule
-    reached = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for r, i in _REASON_IDX.items()
-                    for x in (F.lit(r), F.lit(i))
-                ]
-            ),
-            F.col("drop_reason"),
-        ),
-        F.lit(len(C.DROP_PRECEDENCE)),
-    )
-
-    def vis(metric: str, col: Column) -> Column:
-        return F.when(reached >= _METRIC_RULE_IDX[metric], col)
-
-    scrubbed = F.when(
-        F.col("drop_reason").eqNullSafe(F.lit("no_content")),
-        F.lit(None).cast("string"),
-    ).otherwise(S.scrub(te))
-
     qa = F.struct(
         F.struct(
-            vis("n_chars", F.col("_n_chars")).alias("n_chars"),
-            vis("symbol_ratio", F.col("_symbol_ratio")).alias("symbol_ratio"),
-            vis("n_words", F.col("_n_words")).alias("n_words"),
-            vis("mean_word_len", F.col("_mean_word_len")).alias("mean_word_len"),
-            vis("dup_line_fraction", F.col("_dup_line_fraction")).alias(
-                "dup_line_fraction"
-            ),
-            vis("stopword_fraction", F.col("_stopword_fraction")).alias(
-                "stopword_fraction"
-            ),
+            k.getField("n_chars").alias("n_chars"),
+            k.getField("symbol_ratio").alias("symbol_ratio"),
+            k.getField("n_words").alias("n_words"),
+            k.getField("mean_word_len").alias("mean_word_len"),
+            k.getField("dup_line_fraction").alias("dup_line_fraction"),
+            k.getField("stopword_fraction").alias("stopword_fraction"),
         ).alias("heuristics"),
         F.struct(
-            vis("detected_lang", F.col("_lid.lang")).alias("lang"),
-            vis("langid_confidence", F.col("_lid.confidence")).alias(
-                "confidence"
-            ),
+            k.getField("lang").alias("lang"),
+            k.getField("confidence").alias("confidence"),
         ).alias("langid"),
+        F.struct(k.getField("avg_nll").alias("avg_nll")).alias("perplexity"),
         F.struct(
-            vis("avg_nll", F.col("_avg_nll")).alias("avg_nll")
-        ).alias("perplexity"),
-        F.struct(
-            S.scrub_changed(te, scrubbed).alias("changed")
+            (~te.eqNullSafe(k.getField("scrubbed_text"))).alias("changed")
         ).alias("scrub"),
     )
 
-    return df.select(
+    out = df.select(
         "url",
         "warc_ts",
         "lang",
-        "text_extracted",
-        scrubbed.alias("scrubbed_text"),
+        te.alias("text_extracted"),
+        k.getField("scrubbed_text").alias("scrubbed_text"),
         qa.alias("qa"),
         "keep",
         "drop_reason",
         salted_bucket(F.col("url")).alias("bucket"),
     )
+    if repartition_to:
+        out = out.repartition(
+            repartition_to, F.col("bucket"), salt(F.col("url"))
+        )
+    return out

@@ -1,0 +1,1391 @@
+"""Query registry: every SQL-expressible operator from SURVEY.md §2,
+plus the training-data-pipeline suite (dedup, similarity, text
+analysis), each as a (Spark DataFrame program, DuckDB oracle SQL)
+pair over the driver's parquet tables.
+
+Determinism rules for oracle hash-parity:
+  * float aggregates are ROUND()ed (2dp for money-sums whose true
+    value is an exact 2-dp decimal; 6dp otherwise) — absorbs
+    summation-order ulp differences between engines;
+  * rankings order by (metric, key) so ties break deterministically;
+  * integer counting is preferred over float math wherever possible
+    (the reference's rounding-for-stability idea,
+    /root/reference/eugl/gqa/geometric_utils.py:475-477).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eugl_spark import constants as C
+from eugl_spark.functions import heuristics as H
+from eugl_spark.functions import scrub as S
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(spark=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in C.EN_STOPWORDS) + ")"
+_SYM_SQL = r"[^A-Za-z0-9\s]"
+_TOK_SQL = "[a-z]+"
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter family over `documents` (SQL-checkable heuristic subset;
+# the UDF stages are validated separately against the pandas oracle).
+# ---------------------------------------------------------------------------
+
+_QF_METRICS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang, source,
+    length(text) AS nc,
+    length(text) - length(regexp_replace(text, '{_SYM_SQL}', '', 'g')) AS nsym,
+    regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, source, nc,
+    CASE WHEN nc > 0 THEN nsym / nc END AS symr,
+    len(toks) AS nw,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) / len(toks)
+    END AS mwl,
+    CASE WHEN len(lines) > 0 THEN
+      1.0 - len(list_distinct(lines)) / len(lines)
+    END AS dupf,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, w -> w IN {_STOP_SQL})) / len(toks)
+    END AS swf
+  FROM m
+)
+"""
+
+_QF_REASON_SQL = f"""
+  CASE
+    WHEN nc IS NULL OR nc = 0 THEN 'no_content'
+    WHEN nc < {C.MIN_CHARS} THEN 'too_short'
+    WHEN nc > {C.MAX_CHARS} THEN 'too_long'
+    WHEN symr > {C.MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+    WHEN dupf > {C.MAX_DUP_LINE_FRACTION} THEN 'repetition'
+    WHEN nw < {C.MIN_WORDS} THEN 'too_few_words'
+    WHEN mwl < {C.MIN_MEAN_WORD_LEN} OR mwl > {C.MAX_MEAN_WORD_LEN}
+      THEN 'word_length'
+    WHEN lang IS NULL OR lang <> 'en' THEN 'langid'
+    WHEN swf < {C.MIN_STOPWORD_FRACTION} THEN 'stopword_fraction'
+  END
+"""
+
+
+def _qf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + heuristic metric/verdict columns (native exprs only)."""
+    t = F.col("text")
+    toks = H.tokens(t)
+    df = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("nc", H.n_chars(t))
+        .withColumn("symr", H.symbol_ratio(t))
+        .withColumn("_toks", toks)
+        .withColumn("nw", H.n_words(F.col("_toks")))
+        .withColumn("mwl", H.mean_word_len(F.col("_toks")))
+        .withColumn("dupf", H.dup_line_fraction(t))
+        .withColumn("swf", H.stopword_fraction(F.col("_toks")))
+    )
+    reason = (
+        F.when(F.col("nc").isNull() | (F.col("nc") == 0), "no_content")
+        .when(F.col("nc") < C.MIN_CHARS, "too_short")
+        .when(F.col("nc") > C.MAX_CHARS, "too_long")
+        .when(F.col("symr") > C.MAX_SYMBOL_RATIO, "symbol_ratio")
+        .when(F.col("dupf") > C.MAX_DUP_LINE_FRACTION, "repetition")
+        .when(F.col("nw") < C.MIN_WORDS, "too_few_words")
+        .when(
+            (F.col("mwl") < C.MIN_MEAN_WORD_LEN)
+            | (F.col("mwl") > C.MAX_MEAN_WORD_LEN),
+            "word_length",
+        )
+        .when(F.col("lang").isNull() | (F.col("lang") != "en"), "langid")
+        .when(F.col("swf") < C.MIN_STOPWORD_FRACTION, "stopword_fraction")
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+@q(
+    "qf_verdict",
+    _QF_METRICS_SQL
+    + f"SELECT doc_id, {_QF_REASON_SQL} AS drop_reason, "
+    f"({_QF_REASON_SQL}) IS NULL AS keep FROM s",
+    "F1/F3/F6: heuristic rule conjunction → verdict (SURVEY §2.3)",
+)
+def qf_verdict(spark, sf_dir):
+    return _qf_frame(spark, sf_dir).select("doc_id", "drop_reason", "keep")
+
+
+@q(
+    "qf_keep_rate_by_source",
+    _QF_METRICS_SQL
+    + f"""
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN ({_QF_REASON_SQL}) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      round(CAST(sum(CASE WHEN ({_QF_REASON_SQL}) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        / count(*), 6) AS keep_rate
+    FROM s GROUP BY source
+    """,
+    "A1/A2 analog: per-source keep-rate distribution — the flagship",
+)
+def qf_keep_rate_by_source(spark, sf_dir):
+    return (
+        _qf_frame(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(
+                F.try_divide(F.sum(F.col("keep").cast("long")), F.count("*")), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@q(
+    "qf_drop_reason_dist",
+    _QF_METRICS_SQL
+    + f"""
+    , r AS (SELECT coalesce({_QF_REASON_SQL}, 'KEEP') AS reason FROM s)
+    SELECT reason, count(*) AS n,
+      round(count(*) * 100.0 / (SELECT count(*) FROM r), 6) AS pct
+    FROM r GROUP BY reason
+    """,
+    "A2: normalized class distribution (eugl/metadata.py:129-152)",
+)
+def qf_drop_reason_dist(spark, sf_dir):
+    df = _qf_frame(spark, sf_dir).withColumn(
+        "reason", F.coalesce(F.col("drop_reason"), F.lit("KEEP"))
+    )
+    total = W.partitionBy()
+    return (
+        df.groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 6)
+        )
+    )
+
+
+_PII_APPEND_SQL = (
+    "concat(text, ' contact user', doc_id, '@mail', doc_id % 97,"
+    " '.example.com or +1 555 ', 100 + doc_id % 900, ' 1234 ip 10.0.',"
+    " doc_id % 256, '.7 ', CASE WHEN doc_id % 3 = 0 THEN 'grobnak' ELSE 'ok' END)"
+)
+
+
+@q(
+    "qf_scrub",
+    f"""
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace({_PII_APPEND_SQL},
+              '{C.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+            '{C.PII_IP_RE}', '<IP>', 'g'),
+          '{C.PII_PHONE_RE}', '<PHONE>', 'g'),
+        '{C.TOXIC_RE}', '<BAD>', 'g') AS scrubbed
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "M8: ordered PII/toxicity regex scrub — byte-identical across engines",
+)
+def qf_scrub(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail"),
+        F.col("doc_id") % 97,
+        F.lit(".example.com or +1 555 "),
+        (F.lit(100) + F.col("doc_id") % 900),
+        F.lit(" 1234 ip 10.0."),
+        F.col("doc_id") % 256,
+        F.lit(".7 "),
+        F.when(F.col("doc_id") % 3 == 0, "grobnak").otherwise("ok"),
+    )
+    return df.select("doc_id", S.scrub(pii).alias("scrubbed"))
+
+
+@q(
+    "qf_token_stats",
+    f"""
+    SELECT doc_id, length(text) AS n_chars,
+      len(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS n_words,
+      round(CASE WHEN len(regexp_extract_all(lower(text), '{_TOK_SQL}')) > 0 THEN
+        CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{_TOK_SQL}'),
+             w -> length(w))) AS BIGINT)
+        / len(regexp_extract_all(lower(text), '{_TOK_SQL}')) END, 6)
+        AS mean_word_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "Text analysis: token counting + word-length stats (C1 analog)",
+)
+def qf_token_stats(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = H.tokens(F.col("text"))
+    return df.select(
+        "doc_id",
+        H.n_chars(F.col("text")).alias("n_chars"),
+        H.n_words(toks).alias("n_words"),
+        F.round(H.mean_word_len(toks), 6).alias("mean_word_len"),
+    )
+
+
+@q(
+    "qf_fingerprint",
+    """
+    SELECT doc_id,
+      CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "Document fingerprinting via stable content hash",
+)
+def qf_fingerprint(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return df.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite over `documents`
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT substring(md5(text), 1, 16) AS h, count(*) AS n_copies,
+           min(doc_id) AS keeper
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+    "Exact dedup: content-hash groupBy, keep min doc_id",
+)
+def dedup_exact(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        df.groupBy(F.substring(F.md5("text"), 1, 16).alias("h"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 0)),
+      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+        FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = H.tokens(F.col("text"))
+    df = df.select("doc_id", toks.alias("toks"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        )
+    )
+    return df.select("doc_id", sh.alias("sh"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    "WITH sh AS (" + _SHINGLES_SQL + """
+    ), e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    n AS (SELECT doc_id, len(sh) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE c >= 2
+    """,
+    "Near-dup: word-3-gram Jaccard via shingle explode + self-join",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
+    common = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    return (
+        common.join(n.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(n.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.try_divide(
+                    F.col("c"), F.col("na") + F.col("nb") - F.col("c")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# MinHash: k=4 permutations h_k(x) = (a_k * x + b_k) mod P over shingle
+# hashes, banded 2-per-band → candidate pairs sharing a band.
+_MH_P = 2147483647
+_MH_AB = [(1103, 12345), (2053, 67891), (4099, 13579), (8191, 24680)]
+
+_MH_HASH_SQL = (
+    "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % " + str(_MH_P)
+)
+_MH_MINS_SQL = ", ".join(
+    f"min(({a} * hm + {b}) % {_MH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_MH_AB)
+)
+
+
+@q(
+    "dedup_minhash_bands",
+    "WITH sh AS (" + _SHINGLES_SQL + f"""
+    ), e AS (SELECT doc_id, {_MH_HASH_SQL} AS hm
+             FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+    sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM e GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, concat('b0_', mh0, '_', mh1) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, concat('b1_', mh2, '_', mh3) AS band FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+    "MinHash+LSH: shingle→minhash sig→band buckets→candidate join",
+)
+def dedup_minhash_bands(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    e = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "hm",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _MH_P,
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % _MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_AB)
+    ]
+    sig = e.groupBy("doc_id").agg(*aggs)
+    b0 = sig.select(
+        "doc_id", F.concat(F.lit("b0_"), "mh0", F.lit("_"), "mh1").alias("band")
+    )
+    b1 = sig.select(
+        "doc_id", F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3").alias("band")
+    )
+    bands = b0.unionByName(b1)
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_N_SIMHASH_BITS = 48
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+        regexp_extract_all(lower(text), '{_TOK_SQL}'))) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), th AS (
+      SELECT doc_id,
+        CAST(concat('0x', substring(md5(w), 1, 12)) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, b.b AS b,
+        sum(CASE WHEN (h & (CAST(1 AS BIGINT) << b.b)) <> 0
+            THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, {_N_SIMHASH_BITS - 1})) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+      CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+        AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    "SimHash: per-bit majority vote over token hashes → 48-bit signature",
+)
+def dedup_simhash(spark, sf_dir):
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(H.tokens(F.col("text")))).alias("w"),
+        )
+    )
+    th = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+    )
+    bits_df = spark.range(_N_SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    bits = (
+        th.crossJoin(F.broadcast(bits_df))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias("v")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({v}.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@q(
+    "ann_topk_bruteforce",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        {_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
+          AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    )
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM pairs) WHERE rank <= 5
+    """,
+    "ANN baseline: brute-force cosine top-k (integer output for hash parity)",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        qs.crossJoin(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("nv"))
+            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+@q(
+    "ann_cosine_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
+          >= 0.4
+    """,
+    "Embedding-cosine near-dup pair detection (threshold join)",
+)
+def ann_cosine_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+# Random-hyperplane LSH: 8 deterministic integer hyperplanes
+# h[j][d] = ((j*131 + d*31) % 17) - 8; bucket = sign-bit int.
+_N_PLANES = 8
+
+
+def _plane_dot_sql(j: int) -> str:
+    return (
+        "list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ((({j} * 131 + (i - 1) * 31) % 17) - 8)))"
+    )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_N_PLANES)
+)
+
+
+@q(
+    "ann_lsh_buckets",
+    f"""
+    SELECT CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket,
+           count(*) AS n, min(vec_id) AS min_id
+    FROM embeddings GROUP BY 1
+    """,
+    "ANN scale path: random-hyperplane LSH bucket histogram",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(_N_PLANES):
+        pd_ = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(
+                    *[
+                        F.lit(float(((j * 131 + d * 31) % 17) - 8))
+                        for d in range(64)
+                    ]
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(pd_ > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return emb.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: as-of join, sessionization, windows, JSON, transitions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_asof_last_view",
+    """
+    SELECT c.event_id AS click_id,
+      max(epoch_us(v.ts)) AS last_view_us
+    FROM events c LEFT JOIN events v
+      ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id
+    """,
+    "J6 as-of join: nearest earlier event per key (eugl/gqa/tasks.py:689-716)",
+)
+def events_asof_last_view(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("vu") == F.col("cu")) & (F.col("vts") <= F.col("cts")),
+            "left",
+        )
+        .groupBy("click_id")
+        .agg(F.max(F.unix_micros(F.col("vts").cast("timestamp"))).alias("last_view_us"))
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+    "Sessionization: lag + gap>30min session starts per user",
+)
+def events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+@q(
+    "events_hourly_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Tumbling-window agg (batch form of the streaming hourly rollup)",
+)
+def events_hourly_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS sum_k,
+      count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "C-family: JSON field extraction + agg (semi-structured props)",
+)
+def events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "events_transition_matrix",
+    """
+    WITH t AS (
+      SELECT event_type AS curr,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev
+      FROM events)
+    SELECT prev, curr, count(*) AS n FROM t
+    WHERE prev IS NOT NULL GROUP BY prev, curr
+    """,
+    "A9: pairwise transition-matrix count (cmp-fmask-outputs.py:104-133)",
+)
+def events_transition_matrix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "events_spatial_bins",
+    """
+    SELECT CAST(floor(value / 5) AS BIGINT) AS value_bin,
+      CAST(floor(user_id / 10) AS BIGINT) AS user_bin, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    "A10: 2-D binned histogram (10x10 spatial bin analog)",
+)
+def events_spatial_bins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 5).cast("long").alias("value_bin"),
+        F.floor(F.col("user_id") / 10).cast("long").alias("user_bin"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage over the TPC-H-ish tables (SURVEY §2.3-2.9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A3/A6: grouped multi-aggregate (TPC-H Q1 shape)",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '2000-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """,
+    "J1 + top-k: selective 3-way join, ranked (TPC-H Q3 shape)",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_local_volume",
+    """
+    SELECT r.r_name, n.n_name,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    "J1 chain: 4-way join with small broadcast dims (TPC-H Q5 shape)",
+)
+def tpch_q5_local_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "orders_percentiles",
+    """
+    SELECT o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A5: exact quantile (CEP90 analog, eugl/gqa/tasks.py:513-516)",
+)
+def orders_percentiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@q(
+    "sigma_clip_quantity",
+    """
+    WITH stats AS (
+      SELECT l_returnflag,
+        sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS ss,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), bounds AS (
+      SELECT l_returnflag, s / n AS mu,
+        sqrt((ss - n * (s / n) * (s / n)) / (n - 1)) AS sigma
+      FROM stats
+    )
+    SELECT b.l_returnflag,
+      count(*) AS n_clipped,
+      round(avg(l.l_quantity), 6) AS clipped_mean
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    WHERE abs(l.l_quantity - b.mu) <= 1.0 * b.sigma
+    GROUP BY b.l_returnflag
+    """,
+    "F2: iterative sigma-clip round (eugl/gqa/tasks.py:496-510); "
+    "variance from exact integer-valued sums for cross-engine determinism",
+)
+def sigma_clip_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    mu = F.col("s") / F.col("n")
+    bounds = stats.select(
+        "l_returnflag",
+        mu.alias("mu"),
+        F.sqrt((F.col("ss") - F.col("n") * mu * mu) / (F.col("n") - 1)).alias(
+            "sigma"
+        ),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .filter(F.abs(F.col("l_quantity") - F.col("mu")) <= 1.0 * F.col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_clipped"),
+            F.round(F.avg("l_quantity"), 6).alias("clipped_mean"),
+        )
+    )
+
+
+@q(
+    "mode_priority_per_segment",
+    """
+    SELECT c_mktsegment, o_orderpriority AS mode_priority FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority,
+        row_number() OVER (PARTITION BY c.c_mktsegment
+          ORDER BY count(*) DESC, o.o_orderpriority) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    ) WHERE rn = 1
+    """,
+    "A7: mode / top-1-by-count (eugl/gqa/tasks.py:551-553)",
+)
+def mode_priority_per_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counted = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+@q(
+    "argminmax_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice ASC, o_orderkey) AS rn_min,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn_max
+      FROM orders)
+    SELECT o_orderpriority,
+      CAST(min(CASE WHEN rn_min = 1 THEN o_orderkey END) AS BIGINT)
+        AS cheapest_order,
+      CAST(min(CASE WHEN rn_max = 1 THEN o_orderkey END) AS BIGINT)
+        AS priciest_order
+    FROM r GROUP BY o_orderpriority
+    """,
+    "A8: argmin/argmax with deterministic tie-break "
+    "(min_by analog, eugl/gqa/tasks.py:715-716)",
+)
+def argminmax_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wmin = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wmax = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    r = o.withColumn("rn_min", F.row_number().over(wmin)).withColumn(
+        "rn_max", F.row_number().over(wmax)
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn_min") == 1, F.col("o_orderkey")))
+        .cast("long")
+        .alias("cheapest_order"),
+        F.min(F.when(F.col("rn_max") == 1, F.col("o_orderkey")))
+        .cast("long")
+        .alias("priciest_order"),
+    )
+
+
+@q(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_idle
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    "U3/J8: anti join — keys missing from the other side",
+)
+def anti_join_idle_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_idle"))
+    )
+
+
+@q(
+    "semi_join_active_suppliers",
+    """
+    SELECT s_nationkey, count(*) AS n_active
+    FROM supplier s WHERE EXISTS
+      (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    GROUP BY s_nationkey
+    """,
+    "J8: existence semi join (cmp-fmask-outputs.py:211-213)",
+)
+def semi_join_active_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@q(
+    "full_outer_year_diff",
+    """
+    WITH y97 AS (
+      SELECT o_custkey, count(*) AS n97 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey),
+    y98 AS (
+      SELECT o_custkey, count(*) AS n98 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY o_custkey)
+    SELECT coalesce(y97.o_custkey, y98.o_custkey) AS custkey,
+      coalesce(n97, 0) AS n97, coalesce(n98, 0) AS n98,
+      CASE WHEN y97.o_custkey IS NULL THEN 'right_only'
+           WHEN y98.o_custkey IS NULL THEN 'left_only'
+           ELSE 'both' END AS status
+    FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
+    """,
+    "J9: full-outer diff join with missing-side report",
+)
+def full_outer_year_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(f"n{y % 100}"))
+        )
+
+    y97, y98 = year(1997), year(1998)
+    j = y97.alias("a").join(
+        y98.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n97"), F.lit(0)).alias("n97"),
+        F.coalesce(F.col("n98"), F.lit(0)).alias("n98"),
+        F.when(F.col("a.o_custkey").isNull(), "right_only")
+        .when(F.col("b.o_custkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+@q(
+    "left_join_default_region",
+    """
+    SELECT n.n_name, coalesce(r.r_name, 'UNKNOWN') AS region_name
+    FROM nation n LEFT JOIN
+      (SELECT * FROM region WHERE r_regionkey < 3) r
+      ON n.n_regionkey = r.r_regionkey
+    """,
+    "J2: left join with default (eugl/fmask.py:386-389 offset default 0)",
+)
+def left_join_default_region(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        "n_name", F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region_name")
+    )
+
+
+@q(
+    "union_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_orderpriority
+    """,
+    "U1/U2: unionByName accumulation (eugl/fmask.py:345-347)",
+)
+def union_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderpriority"
+    ).unionByName(o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority"))
+    return u.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@q(
+    "scalar_suite_orders",
+    """
+    SELECT o_orderkey,
+      CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS priority_num,
+      lower(replace(trim(o_orderpriority), ' ', '_')) AS priority_slug,
+      concat('Clerk#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS clerk_id,
+      strftime(o_orderdate, '%Y%j') AS julian,
+      strftime(make_date(CAST(substring(strftime(o_orderdate, '%Y%j'), 1, 4) AS INT), 1, 1)
+        + ((CAST(substring(strftime(o_orderdate, '%Y%j'), 5, 3) AS INT) - 1) * INTERVAL 1 DAY),
+        '%Y-%m-%d') AS roundtrip_date,
+      round(sqrt(o_totalprice * o_totalprice + o_custkey * o_custkey), 4)
+        AS hypot_val
+    FROM orders
+    """,
+    "C4/C5/C8/C10/C11/C3: scalar function suite (slugify, zero-pad, "
+    "Julian date roundtrip, euclidean norm)",
+)
+def scalar_suite_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.element_at(F.split("o_orderpriority", "-"), 1)
+        .cast("long")
+        .alias("priority_num"),
+        F.lower(F.regexp_replace(F.trim(F.col("o_orderpriority")), " ", "_")).alias(
+            "priority_slug"
+        ),
+        F.concat(
+            F.lit("Clerk#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+        ).alias("clerk_id"),
+        F.date_format("o_orderdate", "yyyyDDD").alias("julian"),
+        F.date_format(
+            F.date_add(
+                F.make_date(
+                    F.substring(F.date_format("o_orderdate", "yyyyDDD"), 1, 4).cast("int"),
+                    F.lit(1),
+                    F.lit(1),
+                ),
+                F.substring(F.date_format("o_orderdate", "yyyyDDD"), 5, 3).cast("int") - 1,
+            ),
+            "yyyy-MM-dd",
+        ).alias("roundtrip_date"),
+        F.round(
+            F.sqrt(
+                F.col("o_totalprice") * F.col("o_totalprice")
+                + F.col("o_custkey") * F.col("o_custkey")
+            ),
+            4,
+        ).alias("hypot_val"),
+    )
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+      row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS rn,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders
+    """,
+    "§2.6 window: ranking + running frame aggregate",
+)
+def window_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ).alias("run_total"),
+    )
+
+
+@q(
+    "cube_lineitem_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "§2.5: cube rollup (superset of the reference's 2-key hash agg A9)",
+)
+def cube_lineitem_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "pivot_status_qty",
+    """
+    SELECT l_returnflag,
+      round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+      round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Pivot: wide-format class distribution",
+)
+def pivot_status_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@q(
+    "embedding_stats",
+    """
+    SELECT label, count(*) AS n,
+      round(avg(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+      CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+      CAST(max(len(embedding)) AS BIGINT) AS max_dim
+    FROM embeddings GROUP BY label
+    """,
+    "Array-column profiling: per-label embedding norms and dims",
+)
+def embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        F.min(F.size("embedding")).cast("long").alias("min_dim"),
+        F.max(F.size("embedding")).cast("long").alias("max_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF-stage queries (M1/M2): not SQL-expressible — driver records a
+# rows-only check; full validation is the pytest oracle suite.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "udf_langid_documents",
+    None,
+    "M1: char-trigram language-ID over documents (Arrow pandas UDF)",
+)
+def udf_langid_documents(spark, sf_dir):
+    from eugl_spark.models.langid import langid_udf
+
+    df = _t(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    lid = langid_udf(F.concat_ws(" ", toks))
+    return (
+        df.withColumn("lid", lid)
+        .groupBy(F.col("lid.lang").alias("detected_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "udf_perplexity_documents",
+    None,
+    "M2: word-bigram perplexity distribution over documents",
+)
+def udf_perplexity_documents(spark, sf_dir):
+    from eugl_spark.models.perplexity import perplexity_udf
+
+    df = _t(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    nll = perplexity_udf(toks, F.lit("en"))
+    return (
+        df.withColumn("nll", nll)
+        .agg(
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+            F.round(F.percentile("nll", F.lit(0.5)), 4).alias("p50_nll"),
+            F.count(F.when(F.col("nll") > C.MAX_AVG_NLL, 1)).alias("n_high_ppl"),
+        )
+    )
+
+
+@q(
+    "pipeline_full_corpus",
+    None,
+    "End-to-end pipeline over the synthetic pages corpus "
+    "(extract → langid → ppl → heuristics → scrub → verdict)",
+)
+def pipeline_full_corpus(spark, sf_dir):
+    import os
+    import tempfile
+
+    from eugl_spark.corpus import write_pages_parquet
+    from eugl_spark.pipeline import apply_pipeline
+
+    path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n_rows=2000, seed=42)
+    pages = spark.read.parquet(path).drop("_case")
+    out = apply_pipeline(pages)
+    return out.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason")
+    ).agg(F.count("*").alias("n"))

@@ -63,7 +63,11 @@ def get_spark(
         # fail the job: raw web html is routinely mis-encoded. Matches the
         # oracle's bytes.decode(errors='replace').
         .config("spark.sql.legacy.codingErrorAction", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # small scan splits: the QA kernel runs at scan parallelism
+        # (stateless map, no pre-shuffle), and pages rows are fat
+        # (html binary) — 32MB splits keep every core fed even from a
+        # handful of input files
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

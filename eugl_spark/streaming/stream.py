@@ -1,0 +1,77 @@
+"""Structured Streaming surface.
+
+The reference is batch-only; its luigi file-triggered incremental
+model (tasks fire when input targets appear,
+/root/reference/eugl/gqa/tasks.py:90-98) maps to a
+`Trigger.AvailableNow` file stream: each run drains whatever parquet
+drops arrived, exactly-once via the checkpoint dir — the idiomatic
+Spark version of "process new granules since last run".
+
+Also provides the watermarked event-time rollup (late-data-tolerant
+hourly class distribution — the streaming analog of the per-class
+histogram A1/A2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from eugl_spark.pipeline import apply_pipeline
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental quality filter over a parquet drop directory.
+
+    AvailableNow: drains all unprocessed files then stops — rerunning
+    after new drops processes only the new files (checkpointed source
+    offsets), the luigi target-existence resume recast on streaming.
+    """
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    out = apply_pipeline(src, repartition_to=0)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_verdict_counts(labeled_stream: DataFrame) -> DataFrame:
+    """Watermarked hourly drop-reason distribution (late data ≤ 2h)."""
+    return (
+        labeled_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(
+            F.window("warc_ts", "1 hour"),
+            F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "reason",
+            "n",
+        )
+    )
