@@ -58,6 +58,11 @@ def _out_path(out_dir: str) -> str:
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     path = _lineage_path(out_dir)
+    # existence pre-check: avoids Spark logging a FileNotFound stack
+    # trace on every first run (local paths; remote FS falls through
+    # to the try/except)
+    if "://" not in path and not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
     try:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:  # first run: no lineage yet

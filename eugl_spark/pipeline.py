@@ -50,6 +50,7 @@ def apply_pipeline(
     pages: DataFrame,
     with_udf_stages: bool = True,  # kept for API compat; kernel always runs
     repartition_to: int | None = None,
+    host_rules: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → labeled documents.
 
@@ -74,6 +75,26 @@ def apply_pipeline(
             pages.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
 
+    # optional per-domain policy overlay: broadcast equi-join on
+    # url-host against a small rules dim (host, action∈allow|deny) —
+    # the spatial-join/offset-default pattern of the reference
+    # (J5/J2, eugl/acquisition_info.py:176-191, eugl/fmask.py:386-389).
+    # Caller contract: hosts must be unique (join multiplicity
+    # otherwise duplicates rows) and unknown action values fail OPEN
+    # (anything but 'deny' allows).
+    if host_rules is not None:
+        rules = host_rules.select(
+            F.col("host").alias("_rule_host"),
+            F.col("action").alias("_host_action"),
+        )
+        pages = pages.join(
+            F.broadcast(rules),
+            host(F.col("url")) == F.col("_rule_host"),
+            "left",
+        ).drop("_rule_host")
+    else:
+        pages = pages.withColumn("_host_action", F.lit(None).cast("string"))
+
     # html crosses the boundary only for rows that need extraction
     html_in = F.when(F.col("text").isNull(), F.col("html"))
     df = pages.withColumn("_k", qa_kernel_udf(F.col("text"), html_in))
@@ -81,7 +102,8 @@ def apply_pipeline(
     k = F.col("_k")
     te = k.getField("text_extracted")
     drop_reason = (
-        F.when(te.isNull() | (te == ""), "no_content")
+        F.when(F.col("_host_action") == "deny", "host_deny")
+        .when(te.isNull() | (te == ""), "no_content")
         .when(k.getField("n_chars") < C.MIN_CHARS, "too_short")
         .when(k.getField("n_chars") > C.MAX_CHARS, "too_long")
         .when(k.getField("symbol_ratio") > C.MAX_SYMBOL_RATIO, "symbol_ratio")

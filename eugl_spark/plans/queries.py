@@ -1389,3 +1389,77 @@ def pipeline_full_corpus(spark, sf_dir):
     return out.groupBy(
         F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason")
     ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "fallback_chain_supplier",
+    """
+    WITH prim AS (
+      SELECT l_partkey, min(l_suppkey) AS psupp
+      FROM lineitem WHERE l_extendedprice < 20000 GROUP BY l_partkey),
+    bkup AS (
+      SELECT l_partkey, min(l_suppkey) AS bsupp FROM lineitem
+      GROUP BY l_partkey)
+    SELECT p.p_partkey,
+      coalesce(pr.psupp, bk.bsupp, -1) AS chosen_supp,
+      CASE WHEN pr.psupp IS NOT NULL THEN 'primary'
+           WHEN bk.bsupp IS NOT NULL THEN 'backup'
+           ELSE 'none' END AS source_tier
+    FROM part p
+    LEFT JOIN prim pr ON pr.l_partkey = p.p_partkey
+    LEFT JOIN bkup bk ON bk.l_partkey = p.p_partkey
+    """,
+    "J7: fallback-chain join — primary dir then backup dir "
+    "(eugl/gqa/tasks.py:616-637)",
+)
+def fallback_chain_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    primary = (
+        li.filter(F.col("l_extendedprice") < 20000)
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("psupp"))
+    )
+    backup = li.groupBy("l_partkey").agg(F.min("l_suppkey").alias("bsupp"))
+    return (
+        p.join(primary, p.p_partkey == primary.l_partkey, "left")
+        .drop(primary.l_partkey)
+        .join(backup, p.p_partkey == backup.l_partkey, "left")
+        .drop(backup.l_partkey)
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("psupp"), F.col("bsupp"), F.lit(-1)).alias(
+                "chosen_supp"
+            ),
+            F.when(F.col("psupp").isNotNull(), "primary")
+            .when(F.col("bsupp").isNotNull(), "backup")
+            .otherwise("none")
+            .alias("source_tier"),
+        )
+    )
+
+
+@q(
+    "except_lost_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    "U3: set difference — keys present in 1997 but gone in 1998 "
+    "(cmp-fmask-outputs.py:211-217)",
+)
+def except_lost_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1997).subtract(year(1998))  # EXCEPT (distinct) semantics
