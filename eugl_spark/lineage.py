@@ -109,7 +109,19 @@ def run_with_resume(
     if not todo:
         return {"written": 0, "skipped": len(done), "failed": 0}
 
-    labeled = apply_pipeline(pages)
+    # run-level counters via observe() — the accumulator/exit-code
+    # pattern of the reference's test harness (A12,
+    # /root/reference/testing/cmp-fmask-outputs.py:222-229): metrics
+    # ride the job itself, no second pass over the data.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"qa_counters_{run_id}")
+    labeled = apply_pipeline(pages).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.length("scrubbed_text")).alias("scrubbed_bytes"),
+    )
 
     batches = (
         [todo]
@@ -211,4 +223,9 @@ def run_with_resume(
                 raise
     # stamp finished_at driver-side timestamps via lineage table itself
     _ = now
-    return {"written": written, "skipped": len(done), "failed": failed}
+    result = {"written": written, "skipped": len(done), "failed": failed}
+    try:  # observed metrics cover rows that flowed through this run
+        result["counters"] = obs.get
+    except Exception:
+        pass
+    return result

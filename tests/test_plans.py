@@ -1,0 +1,71 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations we
+rely on at 100 TB must actually appear in the executed plan — filter
+pushdown to the parquet scan, column pruning of the fat html column,
+broadcast joins for small dims, no UDF evaluation for keep-only
+consumers, a single Python boundary in the pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eugl_spark.pipeline import apply_pipeline
+from eugl_spark.plans.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_documents(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    p = _plan(df)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters")[1][:120]
+    read = p.split("ReadSchema")[1][:160]
+    assert "text" not in read, read  # fat column pruned
+
+
+def test_pipeline_single_python_boundary(spark, pages_path):
+    out = apply_pipeline(spark.read.parquet(pages_path).drop("_case"))
+    p = _plan(out.agg(F.sum(F.col("keep").cast("long"))))
+    assert p.count("ArrowEvalPython") == 1, p.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+def test_pipeline_prunes_for_light_consumers(spark, pages_path):
+    pages = spark.read.parquet(pages_path).drop("_case")
+    # bucket/url-only consumer must not decode text/html or run Python
+    light = apply_pipeline(pages, repartition_to=0).select("url", "bucket")
+    p = _plan(light)
+    assert "ArrowEvalPython" not in p
+    read = p.split("ReadSchema")[1][:200]
+    assert "html" not in read and "text" not in read, read
+
+
+def test_broadcast_join_small_dims(spark, sf_dir):
+    p = _plan(REGISTRY["tpch_q5_local_volume"].spark(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p.count("BroadcastHashJoin")
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    p = _plan(REGISTRY["semi_join_active_suppliers"].spark(spark, sf_dir))
+    assert "LeftSemi" in p
+    p = _plan(REGISTRY["anti_join_idle_customers"].spark(spark, sf_dir))
+    assert "LeftAnti" in p
+
+
+def test_whole_stage_codegen_in_heuristics(spark, sf_dir):
+    # compact plan marks codegen stages with "*(n)"
+    p = _plan(REGISTRY["qf_verdict"].spark(spark, sf_dir))
+    assert "*(1)" in p
+
+
+@pytest.mark.parametrize("name", ["qf_token_stats", "qf_fingerprint"])
+def test_scan_prunes_unused_columns(spark, sf_dir, name):
+    p = _plan(REGISTRY[name].spark(spark, sf_dir))
+    read = p.split("ReadSchema")[1][:200]
+    assert "source" not in read, read
