@@ -316,6 +316,9 @@ _SHINGLES_SQL = f"""
 
 def _shingles(spark, sf_dir) -> DataFrame:
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # documents is a small file (1 scan split) but shingling is
+    # CPU-bound higher-order-function work — spread it across cores
+    df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     toks = H.tokens(F.col("text"))
     df = df.select("doc_id", toks.alias("toks"))
     sh = F.array_distinct(

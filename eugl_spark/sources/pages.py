@@ -18,7 +18,11 @@ from eugl_spark.streaming.stream import PAGES_SCHEMA
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        # Class.forName: py4j package attribute access is lazy and
+        # never raises, so it can't be used as an existence probe
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.catalog.Catalog"
+        )
         return True
     except Exception:
         return False
