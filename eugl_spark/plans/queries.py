@@ -317,8 +317,12 @@ _SHINGLES_SQL = f"""
 def _shingles(spark, sf_dir) -> DataFrame:
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # documents is a small file (1 scan split) but shingling is
-    # CPU-bound higher-order-function work — spread it across cores
-    df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # CPU-bound higher-order-function work — spread it across cores.
+    # Hash-repartition WITH a column: AQE coalesces a column-less
+    # round-robin repartition of tiny inputs back to one task.
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
     toks = H.tokens(F.col("text"))
     df = df.select("doc_id", toks.alias("toks"))
     sh = F.array_distinct(
@@ -417,7 +421,7 @@ _MH_MINS_SQL = ", ".join(
     "MinHash+LSH: shingle→minhash sig→band buckets→candidate join",
 )
 def dedup_minhash_bands(spark, sf_dir):
-    sh = _shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    sh = _shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "hm",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _MH_P,
