@@ -1470,3 +1470,133 @@ def except_lost_customers(spark, sf_dir):
         ).select(F.col("o_custkey").alias("custkey"))
 
     return year(1997).subtract(year(1998))  # EXCEPT (distinct) semantics
+
+
+_PRICE_BANDS = [
+    (0, 1000, "micro"), (1000, 10000, "small"), (10000, 50000, "mid"),
+    (50000, 80000, "large"), (80000, 1000000000, "huge"),
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {lo} AS lo, {hi} AS hi, '{name}' AS band"
+    for lo, hi, name in _PRICE_BANDS
+)
+
+
+@q(
+    "range_join_price_bands",
+    f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band, count(*) AS n,
+      round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+    "Range join: fact-to-interval dim via broadcast theta join "
+    "(the as-of/range pattern Spark lacks natively)",
+)
+def range_join_price_bands(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_PRICE_BANDS, ["lo", "hi", "band"])
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "ann_knn_label_vote",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+        {_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
+          AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+    ), topk AS (
+      SELECT q_id, n_label,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM pairs
+    )
+    SELECT q_id, n_label AS voted_label FROM (
+      SELECT q_id, n_label,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY count(*) DESC, n_label) AS vr
+      FROM topk WHERE rank <= 5 GROUP BY q_id, n_label
+    ) WHERE vr = 1
+    """,
+    "kNN classification: majority label among top-5 cosine neighbors",
+)
+def ann_knn_label_vote(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("nv"),
+    )
+    pairs = (
+        qs.crossJoin(F.broadcast(cand))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("nv"))
+            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    top5 = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("cnt"), F.asc("n_label"))
+    return (
+        top5.groupBy("q_id", "n_label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("n_label").alias("voted_label"))
+    )
+
+
+@q(
+    "qf_quality_score",
+    _QF_METRICS_SQL
+    + f"""
+    SELECT doc_id,
+      CAST(
+        (CASE WHEN nc >= {C.MIN_CHARS} AND nc <= {C.MAX_CHARS} THEN 25 ELSE 0 END) +
+        (CASE WHEN symr <= {C.MAX_SYMBOL_RATIO} THEN 25 ELSE 0 END) +
+        (CASE WHEN swf >= {C.MIN_STOPWORD_FRACTION} THEN 25 ELSE 0 END) +
+        (CASE WHEN mwl >= {C.MIN_MEAN_WORD_LEN}
+              AND mwl <= {C.MAX_MEAN_WORD_LEN} THEN 25 ELSE 0 END)
+      AS BIGINT) AS quality_score
+    FROM s WHERE nc IS NOT NULL
+    """,
+    "Composite quality score: rule-passes as an integer 0-100 grade",
+)
+def qf_quality_score(spark, sf_dir):
+    df = _qf_frame(spark, sf_dir).filter(F.col("nc").isNotNull())
+
+    def p(cond):
+        return F.when(cond, 25).otherwise(0)
+
+    score = (
+        p((F.col("nc") >= C.MIN_CHARS) & (F.col("nc") <= C.MAX_CHARS))
+        + p(F.col("symr") <= C.MAX_SYMBOL_RATIO)
+        + p(F.col("swf") >= C.MIN_STOPWORD_FRACTION)
+        + p(
+            (F.col("mwl") >= C.MIN_MEAN_WORD_LEN)
+            & (F.col("mwl") <= C.MAX_MEAN_WORD_LEN)
+        )
+    )
+    return df.select("doc_id", score.cast("long").alias("quality_score"))
