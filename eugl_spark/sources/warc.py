@@ -1,0 +1,54 @@
+"""Minimal WARC-style ingestion: raw binary records → pages rows.
+
+The reference's archive connector unpacks zip/tar members into its
+processing layout (/root/reference/eugl/fmask.py:477-554); the
+web-scale analog turns raw crawl records (one binary blob per
+response) into the canonical pages schema entirely with Catalyst
+expressions — decode, header field extraction, body split — so
+ingestion stays JVM-side and parallel.
+
+Record layout handled (simplified WARC response record):
+
+    WARC/1.0\r\n
+    WARC-Target-URI: <url>\r\n
+    WARC-Date: 2024-01-01T00:00:00Z\r\n
+    ...headers...\r\n
+    \r\n
+    <html payload>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URI_RE = r"(?m)^WARC-Target-URI:\s*(\S+)"
+_DATE_RE = r"(?m)^WARC-Date:\s*(\S+)"
+_BODY_RE = r"(?s)\r\n\r\n(.*)$"
+
+
+def parse_warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
+    """raw(content: binary, ...) → pages(url, warc_ts, html, text, lang).
+
+    All-native plan: decode happens once, header fields come from
+    regexp_extract, the body is re-encoded to the binary html column.
+    Records missing a URI are dropped (count them upstream via
+    observe() if needed); text/lang are null — the pipeline's
+    extraction path fills them.
+    """
+    rec = F.decode(F.col(content_col), "UTF-8")
+    url = F.regexp_extract(rec, _URI_RE, 1)
+    ts = F.to_timestamp(
+        F.regexp_extract(rec, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ssX"
+    )
+    body = F.regexp_extract(rec, _BODY_RE, 1)
+    return (
+        raw.select(
+            F.nullif(url, F.lit("")).alias("url"),
+            ts.alias("warc_ts"),
+            F.encode(body, "UTF-8").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
