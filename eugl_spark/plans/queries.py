@@ -362,7 +362,10 @@ def _shingles(spark, sf_dir) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     sh = _shingles(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    # self-join below would recompute the shingle+explode lineage per
+    # side — materialize once (at 10^12-doc scale this intermediate is
+    # written to a table instead; localCheckpoint is the local analog)
+    e = sh.select("doc_id", F.explode("sh").alias("s")).localCheckpoint()
     n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
     common = (
         e.alias("a")
@@ -431,13 +434,17 @@ def dedup_minhash_bands(spark, sf_dir):
         for i, (a, b) in enumerate(_MH_AB)
     ]
     sig = e.groupBy("doc_id").agg(*aggs)
-    b0 = sig.select(
-        "doc_id", F.concat(F.lit("b0_"), "mh0", F.lit("_"), "mh1").alias("band")
-    )
-    b1 = sig.select(
-        "doc_id", F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3").alias("band")
-    )
-    bands = b0.unionByName(b1)
+    # one explode, not a union of two selects: the union re-evaluates
+    # the whole sig subtree per branch and adds an exchange
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0_"), "mh0", F.lit("_"), "mh1"),
+                F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3"),
+            )
+        ).alias("band"),
+    ).localCheckpoint()  # self-join: avoid recomputing sig per side
     return (
         bands.alias("a")
         .join(
