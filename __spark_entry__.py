@@ -30,10 +30,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_SHIPPED: set[int] = set()
+
+
+def _wrap(fn: Callable) -> Callable:
+    """Ship the package to Python workers once per session: the driver
+    may run queries on its own vanilla SparkSession, and the pandas-UDF
+    queries need eugl_spark importable on workers (--py-files analog)."""
+
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if id(spark) not in _SHIPPED:
+            try:
+                from eugl_spark.session import _ship_package
+
+                _ship_package(spark)
+            except Exception:
+                pass
+            _SHIPPED.add(id(spark))
+        return fn(spark, sf_dir)
+
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from eugl_spark.plans.queries import REGISTRY
 
-    return {name: qry.spark for name, qry in REGISTRY.items()}
+    return {name: _wrap(qry.spark) for name, qry in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
