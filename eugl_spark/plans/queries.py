@@ -1607,3 +1607,20 @@ def qf_quality_score(spark, sf_dir):
         )
     )
     return df.select("doc_id", score.cast("long").alias("quality_score"))
+
+
+@q(
+    "rollup_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+      round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "Hierarchical rollup totals (subtotal + grand-total rows)",
+)
+def rollup_order_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )

@@ -37,3 +37,22 @@ def test_iceberg_gate(spark):
     # jars absent in this environment: the gate must say so, and
     # read_pages must fall through to parquet semantics for paths
     assert iceberg_available(spark) is False
+
+
+def test_write_pages_partitioned(spark, tmp_path):
+    from eugl_spark.pipeline import apply_pipeline
+    from eugl_spark.sources.pages import write_pages
+
+    p = str(tmp_path / "in.parquet")
+    write_pages_parquet(p, 80, seed=13)
+    labeled = apply_pipeline(
+        spark.read.parquet(p).drop("_case"), repartition_to=4
+    )
+    out = str(tmp_path / "out")
+    write_pages(labeled, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 80
+    assert "bucket" in back.columns  # partition column round-trips
+    # dynamic overwrite: second write replaces, not duplicates
+    write_pages(labeled, out)
+    assert spark.read.parquet(out).count() == 80
