@@ -1624,3 +1624,117 @@ def rollup_order_revenue(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+# IVF-style ANN: assign each vector to its nearest deterministic
+# pseudo-centroid (integer formula → identical in both engines), then
+# exact search only within the query's cell — the coarse-quantizer
+# pattern of inverted-file indexes.
+_N_CENTROIDS = 8
+
+
+def _centroid_dot_sql(c: int, v: str) -> str:
+    return (
+        "list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({v}.embedding[i] AS DOUBLE)"
+        f" * ((({c} * 37 + (i - 1) * 13) % 15) - 7)))"
+    )
+
+
+def _cell_sql() -> str:
+    dots = ", ".join(
+        f"{_centroid_dot_sql(c, 'e')} AS d{c}" for c in range(_N_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{c}" for c in range(_N_CENTROIDS)) + ")"
+    case = " ".join(
+        f"WHEN d{c} = {best} THEN {c}" for c in range(_N_CENTROIDS)
+    )
+    return dots, f"CASE {case} END"
+
+
+_IVF_DOTS, _IVF_CASE = _cell_sql()
+
+
+@q(
+    "ann_ivf_cells",
+    f"""
+    WITH d AS (SELECT vec_id, {_IVF_DOTS} FROM embeddings e)
+    SELECT CAST({_IVF_CASE} AS BIGINT) AS cell, count(*) AS n,
+           min(vec_id) AS min_id
+    FROM d GROUP BY 1
+    """,
+    "ANN IVF coarse quantizer: nearest-pseudo-centroid cell assignment",
+)
+def ann_ivf_cells(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def centroid_dot(c):
+        w = F.array(
+            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
+        )
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # argmax with deterministic tie-break: array of (dot, -c) structs
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    centroid_dot(c).alias("d"), F.lit(-c).alias("negc")
+                )
+                for c in range(_N_CENTROIDS)
+            ]
+        )
+    )
+    cell = (-best.getField("negc")).cast("long")
+    return emb.groupBy(cell.alias("cell")).agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    )
+
+
+@q(
+    "text_top_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 1, 0)),
+        i -> concat(t[i], ' ', t[i+1]))) AS bigram
+      FROM toks
+    )
+    SELECT bigram, n FROM (
+      SELECT bigram, count(*) AS n,
+        row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+      FROM bg GROUP BY bigram
+    ) WHERE rn <= 20
+    """,
+    "Text analysis: corpus-level top-k word bigrams (n-gram frequency)",
+)
+def text_top_bigrams(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    toks = H.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda i: F.concat(
+            F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+        ),
+    )
+    bg = df.select(toks.alias("t")).select(
+        F.explode(bigrams).alias("bigram")
+    )
+    w = W.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n")
+    )
