@@ -233,7 +233,13 @@ def build_bigram_tables() -> dict[str, frozenset[tuple[str, str]]]:
 
 
 def successors(lang: str, word: str) -> tuple[str, ...]:
-    """Graph successors of ``word`` in ``lang`` (corpus-generator use)."""
+    """Graph successors of ``word`` in ``lang`` (corpus-generator use).
+
+    >>> successors("en", "the")[0] == WORDS["en"][1]
+    True
+    >>> len(successors("en", "water")) == len(SUCC_OFFSETS)
+    True
+    """
     vocab = WORDS[lang]
     i = vocab.index(word)
     n = len(vocab)

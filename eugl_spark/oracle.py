@@ -34,6 +34,15 @@ _TRIM = re.compile(C.TRIM_RE)
 
 
 def extract_text(html: bytes | None) -> str | None:
+    r"""HTML → canonical text.
+
+    >>> extract_text(b"<html><body><p>a b</p>\n<p>c &amp; d</p></body></html>")
+    'a b\nc & d'
+    >>> extract_text(None) is None
+    True
+    >>> extract_text(b"<script>x()</script><p>kept</p>")
+    'kept'
+    """
     if html is None:
         return None
     t = html.decode("utf-8", errors="replace")
@@ -48,6 +57,16 @@ def extract_text(html: bytes | None) -> str | None:
 
 
 def scrub_text(text: str) -> str:
+    """Ordered PII/toxicity scrub (doctest-pinned, the reference's
+    pure-function doctest pattern, /root/reference/eugl/fmask.py:92-100).
+
+    >>> scrub_text("mail a@b.example.com or +1 555 123 4567 now")
+    'mail <EMAIL> or <PHONE> now'
+    >>> scrub_text("host 10.0.0.1 says grobnak")
+    'host <IP> says <BAD>'
+    >>> scrub_text("clean text stays identical")
+    'clean text stays identical'
+    """
     for pat, rep in _SCRUB:
         text = pat.sub(rep, text)
     return text
