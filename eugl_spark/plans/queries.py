@@ -325,19 +325,24 @@ def _shingles(spark, sf_dir) -> DataFrame:
     )
     toks = H.tokens(F.col("text"))
     df = df.select("doc_id", toks.alias("toks"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))
-            ),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("toks", i),
-                F.element_at("toks", i + 1),
-                F.element_at("toks", i + 2),
-            ),
-        )
-    )
+    # <3 tokens → empty shingle list. Unguarded, sequence(1, 0) yields a
+    # DESCENDING [1, 0] and element_at(toks, 0) aborts the job under
+    # ANSI; DuckDB's generate_series(1, 0) is empty, so the guard is
+    # also what keeps engine and oracle agreeing on short docs.
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select("doc_id", sh.alias("sh"))
 
 
@@ -695,23 +700,32 @@ def ann_lsh_buckets(spark, sf_dir):
     "J6 as-of join: nearest earlier event per key (eugl/gqa/tasks.py:689-716)",
 )
 def events_asof_last_view(spark, sf_dir):
+    # True as-of plan (SURVEY J6): one pass, no row-multiplying join.
+    # Views and clicks interleave in a single per-user window ordered
+    # by (ts, is_click) — views sort before clicks at equal ts, so each
+    # click's running frame holds exactly the views with vts <= cts.
+    # A clicks×views equi-join is O(clicks·views) per user: one hot
+    # user becomes a straggler task at 100× scale; this is O(n log n).
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("cts"),
+    base = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+        F.when(
+            F.col("event_type") == "view",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("view_us"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").cast("int"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        clicks.join(
-            views,
-            (F.col("vu") == F.col("cu")) & (F.col("vts") <= F.col("cts")),
-            "left",
-        )
-        .groupBy("click_id")
-        .agg(F.max(F.unix_micros(F.col("vts").cast("timestamp"))).alias("last_view_us"))
+        base.withColumn("last_view_us", F.max("view_us").over(w))
+        .filter(F.col("is_click"))
+        .select(F.col("event_id").alias("click_id"), "last_view_us")
     )
 
 
@@ -1721,20 +1735,28 @@ def text_top_bigrams(spark, sf_dir):
         int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
     )
     toks = H.tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-        lambda i: F.concat(
-            F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+    # same short-doc guard as _shingles: <2 tokens → no bigrams (ANSI
+    # element_at would otherwise abort on sequence(1, 0) = [1, 0])
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bg = df.select(toks.alias("t")).select(
         F.explode(bigrams).alias("bigram")
     )
-    w = W.orderBy(F.desc("n"), F.asc("bigram"))
+    # global top-k via orderBy+limit: Spark plans this as
+    # TakeOrderedAndProject (per-partition top-20 + driver merge) —
+    # unlike a partition-less row_number window, which funnels every
+    # distinct bigram through ONE task at scale.
     return (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("n"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
         .select("bigram", "n")
     )

@@ -26,7 +26,12 @@ def _ship_package(spark: SparkSession) -> None:
     local or cluster.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "eugl_spark_pyfiles.zip")
+    # per-process path: bench --scaling runs two Spark processes
+    # concurrently; a shared zip could be truncated by one while the
+    # other's executors fetch it
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"eugl_spark_pyfiles_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

@@ -38,8 +38,11 @@ def parse_warc_records(raw: DataFrame, content_col: str = "content") -> DataFram
     """
     rec = F.decode(F.col(content_col), "UTF-8")
     url = F.regexp_extract(rec, _URI_RE, 1)
-    ts = F.to_timestamp(
-        F.regexp_extract(rec, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ssX"
+    # try_to_timestamp: a damaged record with a missing/malformed
+    # WARC-Date must yield a null warc_ts, not abort the ingest job
+    # under ANSI (same tolerance contract as the missing-URI drop).
+    ts = F.try_to_timestamp(
+        F.regexp_extract(rec, _DATE_RE, 1), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
     )
     body = F.regexp_extract(rec, _BODY_RE, 1)
     return (
