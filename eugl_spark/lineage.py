@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import traceback
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,6 +88,29 @@ def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None
     ).coalesce(1).write.mode("append").parquet(_lineage_path(out_dir))
 
 
+def _bucket_stats(spark: SparkSession, out_dir: str, buckets: list[int]) -> DataFrame:
+    """Per-bucket counters derived from the just-WRITTEN output.
+
+    Reading back `pages_out/bucket=...` (partition-pruned, scalar
+    columns only — the fat html column never existed there) costs a
+    trivial scan; recomputing the same numbers from the pipeline plan
+    would re-run the QA kernel, the most expensive stage, once per
+    counter query. One groupBy yields input/kept and the per-reason
+    histogram together. Returns the lazy frame so tests can assert the
+    plan contains the output scan and NO kernel stage.
+    """
+    return (
+        spark.read.parquet(_out_path(out_dir))
+        .filter(F.col("bucket").isin(buckets))
+        .select("bucket", "drop_reason", "keep")
+        .groupBy("bucket", F.coalesce("drop_reason", F.lit("KEEP")).alias("reason"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def run_with_resume(
     spark: SparkSession,
     pages: DataFrame,
@@ -132,7 +156,6 @@ def run_with_resume(
         ]
     )
     written = failed = 0
-    now = F.current_timestamp()
     for batch in batches:
         subset = labeled.filter(F.col("bucket").isin(batch))
         try:
@@ -144,61 +167,38 @@ def run_with_resume(
                 .partitionBy("bucket")
                 .parquet(_out_path(out_dir))
             )
-            stats = (
-                subset.groupBy("bucket")
-                .agg(
-                    F.count("*").alias("n_input"),
-                    F.sum(F.col("keep").cast("long")).alias("n_kept"),
-                    F.map_from_entries(
-                        F.collect_list(
-                            F.struct(
-                                F.coalesce(F.col("drop_reason"), F.lit("KEEP")),
-                                F.lit(1).cast("long"),
-                            )
-                        )
-                    ).alias("_ignore"),
+            # the pipeline executes exactly ONCE per batch (the write
+            # above); counters come from the written parquet, never
+            # from re-running the plan
+            per_bucket: dict[int, dict] = {}
+            for r in _bucket_stats(spark, out_dir, batch).collect():
+                s = per_bucket.setdefault(
+                    int(r["bucket"]), {"n_input": 0, "n_kept": 0, "reasons": {}}
                 )
-                .drop("_ignore")
-                .collect()
-            )
-            reason_rows = (
-                subset.groupBy("bucket", "drop_reason").count().collect()
-            )
-            reasons: dict[int, dict[str, int]] = {}
-            for r in reason_rows:
-                reasons.setdefault(r["bucket"], {})[
-                    r["drop_reason"] or "KEEP"
-                ] = r["count"]
-            present = {s["bucket"] for s in stats}
+                s["n_input"] += r["n"]
+                s["n_kept"] += r["n_kept"]
+                s["reasons"][r["reason"]] = r["n"]
+            finished = datetime.now(timezone.utc)
             rows = [
-                {
-                    "run_id": run_id,
-                    "bucket": int(s["bucket"]),
-                    "status": "ok",
-                    "n_input": s["n_input"],
-                    "n_kept": s["n_kept"],
-                    "n_dropped": s["n_input"] - s["n_kept"],
-                    "drop_reason_counts": reasons.get(s["bucket"], {}),
-                    "stage_versions": dict(C.STAGE_VERSIONS),
-                    "error": None,
-                }
-                for s in stats
-            ]
-            # empty buckets in this batch are complete too (0 rows)
-            rows += [
                 {
                     "run_id": run_id,
                     "bucket": int(b),
                     "status": "ok",
-                    "n_input": 0,
-                    "n_kept": 0,
-                    "n_dropped": 0,
-                    "drop_reason_counts": {},
+                    "n_input": s["n_input"],
+                    "n_kept": s["n_kept"],
+                    "n_dropped": s["n_input"] - s["n_kept"],
+                    "drop_reason_counts": s["reasons"],
                     "stage_versions": dict(C.STAGE_VERSIONS),
                     "error": None,
+                    "finished_at": finished,
                 }
+                # empty buckets in this batch are complete too (0 rows)
                 for b in batch
-                if b not in present
+                for s in [
+                    per_bucket.get(
+                        int(b), {"n_input": 0, "n_kept": 0, "reasons": {}}
+                    )
+                ]
             ]
             _append_lineage(spark, out_dir, rows)
             written += len(batch)
@@ -214,6 +214,7 @@ def run_with_resume(
                         "stage_versions": dict(C.STAGE_VERSIONS),
                         "error": f"{type(e).__name__}: {e}\n"
                         + traceback.format_exc()[-500:],
+                        "finished_at": datetime.now(timezone.utc),
                     }
                     for b in batch
                 ],
@@ -221,8 +222,6 @@ def run_with_resume(
             failed += len(batch)
             if fail_on_bucket is not None:
                 raise
-    # stamp finished_at driver-side timestamps via lineage table itself
-    _ = now
     result = {"written": written, "skipped": len(done), "failed": failed}
     try:  # observed metrics cover rows that flowed through this run
         result["counters"] = obs.get

@@ -67,3 +67,43 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     run_with_resume(spark, pages, out, run_id="r1")
     res = run_with_resume(spark, pages, out, run_id="r1")
     assert res == {"written": 0, "skipped": C.N_BUCKETS, "failed": 0}
+
+
+def test_counters_come_from_written_output_not_pipeline_rerun(
+    spark, pages, tmp_path
+):
+    """The pipeline must execute exactly once per batch (the write).
+
+    The counter query's physical plan has to scan the written
+    pages_out parquet and must NOT contain the Arrow kernel stage —
+    otherwise lineage bookkeeping re-runs the most expensive stage of
+    the job (the round-1 3x-recompute bug)."""
+    from eugl_spark.lineage import _bucket_stats
+
+    out = str(tmp_path / "stats")
+    run_with_resume(spark, pages, out, run_id="r1")
+    stats = _bucket_stats(spark, out, list(range(C.N_BUCKETS)))
+    assert all("pages_out" in f for f in stats.inputFiles())
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "EvalPython" not in plan
+
+    # and the recorded counters equal a direct recount of the output
+    lin = read_lineage(spark, out).toPandas()
+    outdf = spark.read.parquet(f"{out}/pages_out").toPandas()
+    assert lin.n_input.sum() == len(outdf)
+    assert lin.n_kept.sum() == int(outdf.keep.sum())
+    reasons_lin: dict[str, int] = {}
+    for m in lin.drop_reason_counts:
+        for k, v in (m or {}).items():
+            reasons_lin[k] = reasons_lin.get(k, 0) + v
+    reasons_out = (
+        outdf.drop_reason.fillna("KEEP").value_counts().to_dict()
+    )
+    assert reasons_lin == reasons_out
+
+
+def test_finished_at_is_stamped(spark, pages, tmp_path):
+    out = str(tmp_path / "ts")
+    run_with_resume(spark, pages, out, run_id="r1")
+    lin = read_lineage(spark, out).toPandas()
+    assert lin.finished_at.notna().all()
