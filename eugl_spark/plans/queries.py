@@ -325,24 +325,27 @@ def _shingles(spark, sf_dir) -> DataFrame:
     )
     toks = H.tokens(F.col("text"))
     df = df.select("doc_id", toks.alias("toks"))
-    # <3 tokens → empty shingle list. Unguarded, sequence(1, 0) yields a
-    # DESCENDING [1, 0] and element_at(toks, 0) aborts the job under
-    # ANSI; DuckDB's generate_series(1, 0) is empty, so the guard is
-    # also what keeps engine and oracle agreeing on short docs.
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i),
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Drop <3-token docs HERE, on the cheap `toks` column: they have no
+    # shingles, so they can't appear in any downstream pair/signature.
+    # Unguarded, sequence(1, 0) yields a DESCENDING [1, 0] and
+    # element_at(toks, 0) aborts the job under ANSI. Filtering must
+    # happen at this altitude: any filter placed above the (expensive)
+    # shingle transform — or above a downstream pandas UDF — gets
+    # pushed to the scan with the WHOLE expression tree inlined,
+    # re-running the tokenizer once per element_at (measured: +8s on a
+    # 0.5s stage at sf0.1).
+    df = df.filter(F.size("toks") >= 3)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        )
+    )
     return df.select("doc_id", sh.alias("sh"))
 
 
@@ -399,8 +402,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 # MinHash: k=4 permutations h_k(x) = (a_k * x + b_k) mod P over shingle
 # hashes, banded 2-per-band → candidate pairs sharing a band.
-_MH_P = 2147483647
-_MH_AB = [(1103, 12345), (2053, 67891), (4099, 13579), (8191, 24680)]
+# single source of truth for the permutation constants: the kernel
+# that builds the signatures (models/signatures.py)
+from eugl_spark.models.signatures import MH_AB as _MH_AB  # noqa: E402
+from eugl_spark.models.signatures import MH_P as _MH_P  # noqa: E402
 
 _MH_HASH_SQL = (
     "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % " + str(_MH_P)
@@ -429,16 +434,21 @@ _MH_MINS_SQL = ", ".join(
     "MinHash+LSH: shingle→minhash sig→band buckets→candidate join",
 )
 def dedup_minhash_bands(spark, sf_dir):
+    # Signatures come from the Arrow kernel (models/signatures.py):
+    # ONE row per doc, no |shingles|-row explode→shuffle→groupBy (the
+    # round-1 plan spent >half the bench building signatures). Band
+    # construction and the candidate join stay native.
+    from eugl_spark.models.signatures import minhash_sig_udf
+
+    # _shingles already drops shingle-less docs (cheap token-count
+    # filter at the scan), so every row reaching the kernel has ≥1
+    # shingle and no post-UDF null filter is needed — important: a
+    # filter above the UDF is NOT a pushdown barrier; Catalyst inlines
+    # the UDF + shingle tree into a scan-side filter (measured +8s).
     sh = _shingles(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "hm",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _MH_P,
+    sig = sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
+        "doc_id", "_s.*"
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % _MH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MH_AB)
-    ]
-    sig = e.groupBy("doc_id").agg(*aggs)
     # one explode, not a union of two selects: the union re-evaluates
     # the whole sig subtree per branch and adds an exchange
     bands = sig.select(
@@ -493,40 +503,25 @@ _N_SIMHASH_BITS = 48
     "SimHash: per-bit majority vote over token hashes → 48-bit signature",
 )
 def dedup_simhash(spark, sf_dir):
-    tok = (
+    # Arrow kernel signature build (models/signatures.py): one row per
+    # doc — replaces the round-1 token-explode + 48× bit crossJoin +
+    # double groupBy, which shuffled 48·|tokens| rows to compute a
+    # per-doc integer.
+    from eugl_spark.models.signatures import simhash_udf
+
+    df = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
+        )
         .select(
-            "doc_id",
-            F.explode(F.array_distinct(H.tokens(F.col("text")))).alias("w"),
+            "doc_id", F.array_distinct(H.tokens(F.col("text"))).alias("w")
         )
+        .filter(F.size("w") > 0)
     )
-    th = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
-    )
-    bits_df = spark.range(_N_SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    bits = (
-        th.crossJoin(F.broadcast(bits_df))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-                    != 0,
-                    1,
-                ).otherwise(-1)
-            ).alias("v")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    return df.select("doc_id", simhash_udf("w").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
