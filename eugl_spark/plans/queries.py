@@ -349,9 +349,10 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return df.select("doc_id", sh.alias("sh"))
 
 
-@q(
-    "dedup_ngram_jaccard",
-    "WITH sh AS (" + _SHINGLES_SQL + """
+_JACCARD_SQL = (
+    "WITH sh AS ("
+    + _SHINGLES_SQL
+    + """
     ), e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     n AS (SELECT doc_id, len(sh) AS n FROM sh),
     common AS (
@@ -365,7 +366,13 @@ def _shingles(spark, sf_dir) -> DataFrame:
     JOIN n na ON na.doc_id = doc_a
     JOIN n nb ON nb.doc_id = doc_b
     WHERE c >= 2
-    """,
+    """
+)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
     "Near-dup: word-3-gram Jaccard via shingle explode + self-join",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -1754,4 +1761,311 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
         .select("bigram", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end bucketed ANN: the candidate-then-verify pattern of the
+# reference's gverify chip matching (coarse grid → correlate,
+# /root/reference/eugl/gqa/tasks.py:235-280). The LSH/IVF structures
+# above stop at bucket/cell histograms; these finish the job — emit
+# actual neighbors with NO full-table crossJoin in the plan.
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        "list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    )
+
+
+def _lsh_plane_dot(j: int):
+    """Spark column: <embedding, plane j> (same integer plane family
+    as ann_lsh_buckets)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(
+                *[F.lit(float(((j * 131 + d * 31) % 17) - 8)) for d in range(64)]
+            ),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_LSH_BANDS = 2  # 2 bands × 4 planes: multi-band OR (union of candidates)
+_PLANES_PER_BAND = _N_PLANES // _LSH_BANDS
+
+
+def _band_val_sql(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << idx} ELSE 0 END)"
+        for idx, j in enumerate(
+            range(k * _PLANES_PER_BAND, (k + 1) * _PLANES_PER_BAND)
+        )
+    )
+
+
+@q(
+    "ann_lsh_pairs",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_band_val_sql(0)} AS b0, {_band_val_sql(1)} AS b1
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, concat('0_', b0) AS band FROM s
+      UNION ALL
+      SELECT vec_id, concat('1_', b1) AS band FROM s
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_dot_sql('a', 'b')}
+      / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}) >= 0.4
+    """,
+    "ANN scale path end-to-end: multi-band hyperplane LSH candidates "
+    "→ exact-cosine verify (no full-table crossJoin)",
+)
+def ann_lsh_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    band_cols = []
+    for k in range(_LSH_BANDS):
+        val = None
+        for idx, j in enumerate(
+            range(k * _PLANES_PER_BAND, (k + 1) * _PLANES_PER_BAND)
+        ):
+            term = F.when(_lsh_plane_dot(j) > 0, F.lit(1 << idx)).otherwise(
+                F.lit(0)
+            )
+            val = term if val is None else val + term
+        band_cols.append(F.concat(F.lit(f"{k}_"), val.cast("string")))
+    cand_bands = emb.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("band")
+    ).localCheckpoint()  # self-join: don't recompute 8 plane dots/side
+    cand = (
+        cand_bands.alias("x")
+        .join(
+            cand_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= 0.4
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _ivf_cell_col():
+    """Spark column: nearest pseudo-centroid id (argmax dot, ties → min c)."""
+
+    def centroid_dot(c):
+        w = F.array(
+            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
+        )
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(centroid_dot(c).alias("d"), F.lit(-c).alias("negc"))
+                for c in range(_N_CENTROIDS)
+            ]
+        )
+    )
+    return (-best.getField("negc")).cast("long")
+
+
+_IVF_NPROBE = 2
+_IVF_STRUCTS = ", ".join(
+    f"{{'d': d{c}, 'c': {c}}}" for c in range(_N_CENTROIDS)
+)
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH d AS (SELECT vec_id, embedding, {_IVF_DOTS} FROM embeddings e),
+    c AS (SELECT vec_id, embedding, CAST({_IVF_CASE} AS BIGINT) AS cell FROM d),
+    qd AS (SELECT vec_id, embedding, unnest([{_IVF_STRUCTS}]) AS s
+           FROM d WHERE vec_id < 10),
+    probes AS (
+      SELECT vec_id, embedding, CAST(s.c AS BIGINT) AS pcell FROM (
+        SELECT vec_id, embedding, s,
+          row_number() OVER (PARTITION BY vec_id ORDER BY s.d DESC, s.c)
+            AS pr
+        FROM qd) WHERE pr <= {_IVF_NPROBE}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        {_dot_sql('q', 'n')}
+          / ({_NORM_SQL.format(v='q')} * {_NORM_SQL.format(v='n')}) AS cos
+      FROM probes q JOIN c n ON n.cell = q.pcell AND n.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM pairs) WHERE rank <= 5
+    """,
+    "ANN IVF end-to-end: coarse-quantizer cell assignment → exact "
+    "top-k within the query's nprobe=2 nearest cells (inverted-file "
+    "search; no full-table crossJoin)",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def centroid_dot(c):
+        w = F.array(
+            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
+        )
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # data side: one cell per vector (the persisted inverted index at
+    # production scale, keyed — and for skewed cells, salted — by cell)
+    assigned = emb.withColumn("cell", _ivf_cell_col()).localCheckpoint()
+    # query side: probe the nprobe nearest centroids — sort the
+    # (dot, -c) structs descending; ties pick the smaller centroid id,
+    # matching the assignment's argmax tie-break
+    dots = F.array(
+        *[
+            F.struct(centroid_dot(c).alias("d"), F.lit(-c).alias("negc"))
+            for c in range(_N_CENTROIDS)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(dots)), 1, _IVF_NPROBE)
+    qs = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.transform(top, lambda s: (-s.getField("negc")).cast("long"))).alias(
+                "cell"
+            ),
+        )
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "cell"
+    )
+    pairs = (
+        qs.join(cands, "cell")  # equi-join on cell: NOT a crossJoin
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("nv"))
+            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering + keeper selection: candidate pairs → connected
+# components → keeper per cluster. This is the per-document analog of
+# the reference's per-granule keep/drop verdict (eugl/metadata.py:120-127)
+# applied to duplicate families — pairs alone aren't actionable.
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_JACCARD = 0.5
+
+
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE nd_pairs AS (
+      SELECT doc_a, doc_b FROM ({_JACCARD_SQL})
+      WHERE jaccard >= {_NEAR_DUP_JACCARD}
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM nd_pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM nd_pairs
+    ), reach(id, r) AS (
+      SELECT DISTINCT u AS id, u AS r FROM sym
+      UNION
+      SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS keep
+    FROM reach GROUP BY id
+    """,
+    "Near-dup clustering: connected components over jaccard>=0.5 pairs "
+    "(iterative min-label propagation), keeper = min doc_id per cluster",
+)
+def dedup_clusters(spark, sf_dir):
+    """Min-label propagation over the candidate-pair graph.
+
+    Each round every node adopts the smallest label among itself and
+    its neighbors; converges in O(graph diameter) rounds — near-dup
+    families are small and dense (diameter ≤ a few hops), so this
+    terminates in 2-4 supersteps. Labels are monotonically
+    non-increasing, so an unchanged label-sum IS the fixpoint test (one
+    scalar agg per round, no full-frame diff). Each round's frame is
+    localCheckpoint'd: iterative lineage otherwise grows exponentially.
+    At 10^12-doc scale the same loop runs with a persisted table per
+    superstep (or large-star/small-star for long-chain graphs).
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= _NEAR_DUP_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        msgs = edges.join(
+            labels, edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
     )
