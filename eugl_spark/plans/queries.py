@@ -1016,6 +1016,89 @@ def sigma_clip_quantity(spark, sf_dir):
     )
 
 
+def _sigma_clip_rounds(li, n_sigma: float, iterations: int) -> DataFrame:
+    """F2: the reference's iterative sigma-clip loop
+    (eugl/gqa/tasks.py:496-510, `iterations` in configs/example.cfg:23):
+    each round re-estimates (μ, σ) per group from the CURRENT survivor
+    set and keeps |x−μ| ≤ nσ. The loop unrolls into one lazy plan —
+    `iterations` is a plan-time scalar, so Catalyst sees a fixed chain
+    of (agg → broadcast join → filter) stages, each aggregation
+    map-side-partial; no driver materialization between rounds."""
+    cur = li.select("l_returnflag", "l_quantity")
+    for _ in range(iterations):
+        stats = cur.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+            F.count("*").alias("n"),
+        )
+        mu = F.col("s") / F.col("n")
+        bounds = stats.select(
+            "l_returnflag",
+            mu.alias("mu"),
+            F.sqrt(
+                (F.col("ss") - F.col("n") * mu * mu) / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+        cur = (
+            cur.join(F.broadcast(bounds), "l_returnflag")
+            .filter(
+                F.abs(F.col("l_quantity") - F.col("mu"))
+                <= n_sigma * F.col("sigma")
+            )
+            .select("l_returnflag", "l_quantity")
+        )
+    return cur
+
+
+def _sigma_clip_sql(iterations: int) -> str:
+    src = "lineitem"
+    ctes = []
+    for i in range(iterations):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT l_returnflag, sum(l_quantity) AS s,
+        sum(l_quantity * l_quantity) AS ss, count(*) AS n
+      FROM {src} GROUP BY l_returnflag
+    ), b{i} AS (
+      SELECT l_returnflag, s / n AS mu,
+        sqrt((ss - n * (s / n) * (s / n)) / (n - 1)) AS sigma
+      FROM s{i}
+    ), f{i} AS (
+      SELECT l.l_returnflag, l.l_quantity
+      FROM {src} l JOIN b{i} b ON l.l_returnflag = b.l_returnflag
+      WHERE abs(l.l_quantity - b.mu) <= 1.0 * b.sigma
+    )"""
+        )
+        src = f"f{i}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT l_returnflag, count(*) AS n_clipped,
+      round(avg(l_quantity), 6) AS clipped_mean
+    FROM {src} GROUP BY l_returnflag
+    """
+    )
+
+
+@q(
+    "sigma_clip_iter2",
+    _sigma_clip_sql(2),
+    "F2 full loop: TWO sigma-clip rounds, μ/σ re-estimated from the "
+    "survivors of round 1 (eugl/gqa/tasks.py:496-510)",
+)
+def sigma_clip_iter2(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        _sigma_clip_rounds(li, n_sigma=1.0, iterations=2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_clipped"),
+            F.round(F.avg("l_quantity"), 6).alias("clipped_mean"),
+        )
+    )
+
+
 @q(
     "mode_priority_per_segment",
     """
@@ -1354,15 +1437,86 @@ def embedding_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# UDF-stage queries (M1/M2): not SQL-expressible — driver records a
-# rows-only check; full validation is the pytest oracle suite.
+# UDF-stage queries (M1/M2) WITH DuckDB oracles: the models are
+# deterministic integer computations over the word lists in
+# constants.py (trigram set membership, bigram edge counting), so the
+# hardest correctness signal — an independent engine reproducing the
+# model stages bit-for-bit — is expressible in SQL. Both the SQL and
+# the kernels derive from the same constants (C17 plan-time
+# derivation), never from each other.
 # ---------------------------------------------------------------------------
+
+
+def _langid_cte() -> str:
+    """CTEs lang_tok/tri/lid: detected language per doc, mirroring
+    models/langid.py (pad ' tokstr ', count trigram profile hits,
+    first-max argmax in LANGS order, confidence gate to 'und')."""
+    counts = ", ".join(
+        "len(list_filter(gs, g -> g IN ("
+        + ",".join(f"'{g}'" for g in sorted(C.TRIGRAM_PROFILES[lang]))
+        + f"))) AS c_{lang}"
+        for lang in C.LANGS
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in C.LANGS) + ")"
+    first_max = " ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in C.LANGS
+    )
+    return f"""
+    lang_tok AS (
+      SELECT doc_id,
+        concat(' ', array_to_string(
+          regexp_extract_all(lower(text), '{_TOK_SQL}'), ' '), ' ') AS p
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, length(p) - 2 AS n_grams,
+        list_transform(generate_series(1, length(p) - 2),
+                       i -> substring(p, i, 3)) AS gs
+      FROM lang_tok
+    ), lid AS (
+      SELECT doc_id,
+        CASE WHEN n_grams <= 0 THEN 'und'
+             WHEN {best} / CAST(n_grams AS DOUBLE)
+                  < {C.MIN_LANGID_CONFIDENCE} THEN 'und'
+             {first_max} END AS det
+      FROM (SELECT doc_id, n_grams, {counts} FROM tri)
+    )"""
+
+
+_EN_EDGE_SQL = ",".join(
+    f"'{a} {b}'" for a, b in sorted(C.BIGRAM_TABLES["en"])
+)
+
+# identical expression SHAPE to models/perplexity.py score_batch:
+# nll = -(n_seen·SEEN + (n_pairs - n_seen)·UNSEEN) / n_pairs
+_PPL_CTE = f"""
+    ppl AS (
+      SELECT doc_id,
+        CASE WHEN nw2 >= 2 THEN
+          -(n_seen * ({C.SEEN_LOGPROB!r}) +
+            ((nw2 - 1) - n_seen) * ({C.UNSEEN_LOGPROB!r})) / (nw2 - 1)
+        END AS nll
+      FROM (
+        SELECT doc_id, len(toks) AS nw2,
+          CASE WHEN len(toks) >= 2 THEN
+            len(list_filter(
+              list_transform(generate_series(1, len(toks) - 1),
+                             i -> concat(toks[i], ' ', toks[i+1])),
+              pr -> pr IN ({_EN_EDGE_SQL})))
+          ELSE 0 END AS n_seen
+        FROM (SELECT doc_id,
+                regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+              FROM documents)
+      )
+    )"""
 
 
 @q(
     "udf_langid_documents",
-    None,
-    "M1: char-trigram language-ID over documents (Arrow pandas UDF)",
+    "WITH " + _langid_cte() + """
+    SELECT det AS detected_lang, count(*) AS n FROM lid GROUP BY det
+    """,
+    "M1: char-trigram language-ID over documents (Arrow pandas UDF) "
+    "vs an independent SQL reimplementation of the model",
 )
 def udf_langid_documents(spark, sf_dir):
     from eugl_spark.models.langid import langid_udf
@@ -1379,15 +1533,26 @@ def udf_langid_documents(spark, sf_dir):
 
 @q(
     "udf_perplexity_documents",
-    None,
-    "M2: word-bigram perplexity distribution over documents",
+    "WITH " + _PPL_CTE + """
+    SELECT round(avg(nll), 4) AS mean_nll,
+      round(quantile_cont(nll, 0.5), 4) AS p50_nll,
+      CAST(count(CASE WHEN nll > """ + str(C.MAX_AVG_NLL) + """ THEN 1 END)
+        AS BIGINT) AS n_high_ppl
+    FROM ppl
+    """,
+    "M2: word-bigram perplexity distribution over documents vs an "
+    "independent SQL reimplementation of the LM",
 )
 def udf_perplexity_documents(spark, sf_dir):
     from eugl_spark.models.perplexity import perplexity_udf
 
     df = _t(spark, sf_dir, "documents")
     toks = H.tokens(F.col("text"))
-    nll = perplexity_udf(toks, F.lit("en"))
+    # NaN (docs with <2 tokens / null text) → null, so Spark's
+    # null-skipping aggregates mirror SQL NULL semantics
+    nll = F.nanvl(
+        perplexity_udf(toks, F.lit("en")), F.lit(None).cast("double")
+    )
     return (
         df.withColumn("nll", nll)
         .agg(
@@ -1395,6 +1560,52 @@ def udf_perplexity_documents(spark, sf_dir):
             F.round(F.percentile("nll", F.lit(0.5)), 4).alias("p50_nll"),
             F.count(F.when(F.col("nll") > C.MAX_AVG_NLL, 1)).alias("n_high_ppl"),
         )
+    )
+
+
+@q(
+    "pipeline_docs_verdict",
+    _QF_METRICS_SQL + ", " + _langid_cte() + ", " + _PPL_CTE + f"""
+    SELECT s.doc_id,
+      coalesce(CASE
+        WHEN nc IS NULL OR nc = 0 THEN 'no_content'
+        WHEN nc < {C.MIN_CHARS} THEN 'too_short'
+        WHEN nc > {C.MAX_CHARS} THEN 'too_long'
+        WHEN symr > {C.MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+        WHEN dupf > {C.MAX_DUP_LINE_FRACTION} THEN 'repetition'
+        WHEN nw < {C.MIN_WORDS} THEN 'too_few_words'
+        WHEN mwl < {C.MIN_MEAN_WORD_LEN} OR mwl > {C.MAX_MEAN_WORD_LEN}
+          THEN 'word_length'
+        WHEN det <> 'en' THEN 'langid'
+        WHEN swf < {C.MIN_STOPWORD_FRACTION} THEN 'stopword_fraction'
+        WHEN nll > {C.MAX_AVG_NLL} THEN 'perplexity'
+      END, 'KEEP') AS reason
+    FROM s
+    JOIN lid ON lid.doc_id = s.doc_id
+    JOIN ppl ON ppl.doc_id = s.doc_id
+    """,
+    "THE flagship gate: the full pipeline verdict (heuristics + "
+    "langid model + perplexity model, DROP_PRECEDENCE order) per doc, "
+    "engine = apply_pipeline's Arrow kernel, oracle = an independent "
+    "all-SQL reimplementation of every stage",
+)
+def pipeline_docs_verdict(spark, sf_dir):
+    from eugl_spark.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/d/"), F.col("doc_id")
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = apply_pipeline(pages, repartition_to=0)
+    return out.select(
+        F.element_at(F.split(F.col("url"), "/"), -1).cast("long").alias("doc_id"),
+        F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason"),
     )
 
 

@@ -10,6 +10,10 @@ are not in this environment, so that path is import-gated.
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,6 +60,61 @@ def read_raw_drops(spark: SparkSession, path: str, pattern: str = "*.warc") -> D
             F.col("content"),
         )
     )
+
+
+def extract_single(spark: SparkSession, path: str, pattern: str) -> DataFrame:
+    """The reference's FileArchive.extract_file contract (S2/F11).
+
+    A member pattern must resolve to EXACTLY one archive member — zero
+    matches and multiple matches are both caller errors, raised eagerly
+    (/root/reference/eugl/fmask.py:529-547, pinned by its most
+    unit-tested suite, /root/reference/eugl/test_fmask.py:45-81). The
+    check is listing-only (two paths, no content scan); the returned
+    frame still carries the lazy binary content column.
+    """
+    df = read_raw_drops(spark, path, pattern)
+    matches = [r["path"] for r in df.select("path").take(2)]
+    if not matches:
+        raise FileNotFoundError(
+            f"no member matches {pattern!r} under {path}"
+        )
+    if len(matches) > 1:
+        raise ValueError(
+            f"pattern {pattern!r} matches multiple members under {path}"
+        )
+    return df
+
+
+def compact_bucket(
+    spark: SparkSession,
+    out_dir: str,
+    bucket: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """K4 finalize/compaction (the COG-finalize analog,
+    /root/reference/eugl/fmask.py:695-756): rewrite ONE bucket
+    partition's small files into ≈target_bytes files.
+
+    Incremental runs (resume batches, streaming epochs) accumulate
+    small files per bucket; scans then pay per-file open cost. This is
+    the plain-parquet local analog of Iceberg's rewrite_data_files:
+    write the compacted copy BESIDE the live directory, then swap —
+    readers of the partitioned root never observe a half-written
+    bucket (on an object store / Iceberg catalog the swap is a
+    metadata commit). Returns (files_before, files_after).
+    """
+    bdir = os.path.join(out_dir, "pages_out", f"bucket={bucket}")
+    files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):
+        return (len(files), len(files))
+    tmp = bdir + "._compact"
+    spark.read.parquet(bdir).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bdir)
+    os.replace(tmp, bdir)
+    n_after = len([f for f in os.listdir(bdir) if f.endswith(".parquet")])
+    return (len(files), n_after)
 
 
 def write_pages(df: DataFrame, target: str) -> None:
