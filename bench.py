@@ -33,10 +33,14 @@ HEADLINE = [
     "qf_verdict",
     "qf_keep_rate_by_source",
     "qf_scrub",
+    "pipeline_docs_verdict",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_simhash",
+    "dedup_clusters_lsh",
     "ann_topk_bruteforce",
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
     "events_asof_last_view",
     "events_sessionize",
     "tpch_q1_pricing_summary",

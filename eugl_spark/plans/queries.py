@@ -581,6 +581,8 @@ def _norm(v):
     "ANN baseline: brute-force cosine top-k (integer output for hash parity)",
 )
 def ann_topk_bruteforce(spark, sf_dir):
+    from eugl_spark.models.embedding_kernels import cosine_udf
+
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -590,11 +592,7 @@ def ann_topk_bruteforce(spark, sf_dir):
             emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
         )
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn(
-            "cos",
-            _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-        )
+        .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
@@ -616,6 +614,11 @@ def ann_topk_bruteforce(spark, sf_dir):
     "Embedding-cosine near-dup pair detection (threshold join)",
 )
 def ann_cosine_pairs(spark, sf_dir):
+    # deliberately the O(n²) oracle baseline (production routes through
+    # ann_lsh_pairs). JVM fold, NOT the Arrow cosine kernel: a
+    # crossJoin materializes both 64-float vectors per PAIR, so the
+    # kernel's Arrow transfer is O(n²·dim) — measured 5× slower than
+    # evaluating the fold inside the join stage.
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -660,27 +663,16 @@ _LSH_BUCKET_SQL = " + ".join(
     "ANN scale path: random-hyperplane LSH bucket histogram",
 )
 def ann_lsh_buckets(spark, sf_dir):
+    # one numpy kernel pass per batch (models/embedding_kernels.py)
+    # instead of 8 interpreted zip_with/aggregate folds per row; the
+    # column-loop kernel reproduces the folds' summation order exactly
+    from eugl_spark.models.embedding_kernels import lsh_bucket_udf
+
     emb = _t(spark, sf_dir, "embeddings")
-    bucket = None
-    for j in range(_N_PLANES):
-        pd_ = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(
-                    *[
-                        F.lit(float(((j * 131 + d * 31) % 17) - 8))
-                        for d in range(64)
-                    ]
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        term = F.when(pd_ > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return emb.groupBy(bucket.cast("long").alias("bucket")).agg(
-        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    return (
+        emb.withColumn("bucket", lsh_bucket_udf("embedding"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
     )
 
 
@@ -1779,14 +1771,12 @@ def ann_knn_label_vote(spark, sf_dir):
         F.col("label").alias("n_label"),
         F.col("embedding").alias("nv"),
     )
+    from eugl_spark.models.embedding_kernels import cosine_udf
+
     pairs = (
         qs.crossJoin(F.broadcast(cand))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn(
-            "cos",
-            _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-        )
+        .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     top5 = pairs.withColumn("rank", F.row_number().over(w)).filter(
@@ -1893,32 +1883,13 @@ _IVF_DOTS, _IVF_CASE = _cell_sql()
     "ANN IVF coarse quantizer: nearest-pseudo-centroid cell assignment",
 )
 def ann_ivf_cells(spark, sf_dir):
+    from eugl_spark.models.embedding_kernels import ivf_cell_udf
+
     emb = _t(spark, sf_dir, "embeddings")
-
-    def centroid_dot(c):
-        w = F.array(
-            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
-        )
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # argmax with deterministic tie-break: array of (dot, -c) structs
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    centroid_dot(c).alias("d"), F.lit(-c).alias("negc")
-                )
-                for c in range(_N_CENTROIDS)
-            ]
-        )
-    )
-    cell = (-best.getField("negc")).cast("long")
-    return emb.groupBy(cell.alias("cell")).agg(
-        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    return (
+        emb.withColumn("cell", ivf_cell_udf("embedding"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
     )
 
 
@@ -1991,22 +1962,6 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _lsh_plane_dot(j: int):
-    """Spark column: <embedding, plane j> (same integer plane family
-    as ann_lsh_buckets)."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.array(
-                *[F.lit(float(((j * 131 + d * 31) % 17) - 8)) for d in range(64)]
-            ),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 _LSH_BANDS = 2  # 2 bands × 4 planes: multi-band OR (union of candidates)
 _PLANES_PER_BAND = _N_PLANES // _LSH_BANDS
 
@@ -2045,21 +2000,21 @@ def _band_val_sql(k: int) -> str:
     "→ exact-cosine verify (no full-table crossJoin)",
 )
 def ann_lsh_pairs(spark, sf_dir):
+    from eugl_spark.models.embedding_kernels import cosine_udf, lsh_bucket_udf
+
     emb = _t(spark, sf_dir, "embeddings")
-    band_cols = []
-    for k in range(_LSH_BANDS):
-        val = None
-        for idx, j in enumerate(
-            range(k * _PLANES_PER_BAND, (k + 1) * _PLANES_PER_BAND)
-        ):
-            term = F.when(_lsh_plane_dot(j) > 0, F.lit(1 << idx)).otherwise(
-                F.lit(0)
+    # one kernel pass gives the full 8-bit bucket; band k's value is a
+    # 4-bit slice of it (band0 = low nibble, band1 = high nibble)
+    bucket = emb.select("vec_id", lsh_bucket_udf("embedding").alias("bucket"))
+    cand_bands = bucket.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("0_"), F.col("bucket").bitwiseAND(F.lit(15))),
+                F.concat(F.lit("1_"), F.shiftright("bucket", 4)),
             )
-            val = term if val is None else val + term
-        band_cols.append(F.concat(F.lit(f"{k}_"), val.cast("string")))
-    cand_bands = emb.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("band")
-    ).localCheckpoint()  # self-join: don't recompute 8 plane dots/side
+        ).alias("band"),
+    ).localCheckpoint()  # self-join: don't run the kernel per side
     cand = (
         cand_bands.alias("x")
         .join(
@@ -2077,37 +2032,10 @@ def ann_lsh_pairs(spark, sf_dir):
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb")))
-            >= 0.4
-        )
+        .withColumn("cos", cosine_udf(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b")
     )
-
-
-def _ivf_cell_col():
-    """Spark column: nearest pseudo-centroid id (argmax dot, ties → min c)."""
-
-    def centroid_dot(c):
-        w = F.array(
-            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
-        )
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(centroid_dot(c).alias("d"), F.lit(-c).alias("negc"))
-                for c in range(_N_CENTROIDS)
-            ]
-        )
-    )
-    return (-best.getField("negc")).cast("long")
 
 
 _IVF_NPROBE = 2
@@ -2146,40 +2074,24 @@ _IVF_STRUCTS = ", ".join(
     "search; no full-table crossJoin)",
 )
 def ann_ivf_topk(spark, sf_dir):
+    from eugl_spark.models.embedding_kernels import (
+        cosine_udf,
+        ivf_cell_udf,
+        ivf_probes2_udf,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-
-    def centroid_dot(c):
-        w = F.array(
-            *[F.lit(float(((c * 37 + d * 13) % 15) - 7)) for d in range(64)]
-        )
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     # data side: one cell per vector (the persisted inverted index at
     # production scale, keyed — and for skewed cells, salted — by cell)
-    assigned = emb.withColumn("cell", _ivf_cell_col()).localCheckpoint()
-    # query side: probe the nprobe nearest centroids — sort the
-    # (dot, -c) structs descending; ties pick the smaller centroid id,
-    # matching the assignment's argmax tie-break
-    dots = F.array(
-        *[
-            F.struct(centroid_dot(c).alias("d"), F.lit(-c).alias("negc"))
-            for c in range(_N_CENTROIDS)
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(dots)), 1, _IVF_NPROBE)
-    qs = (
-        assigned.filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(F.transform(top, lambda s: (-s.getField("negc")).cast("long"))).alias(
-                "cell"
-            ),
-        )
+    assigned = emb.withColumn(
+        "cell", ivf_cell_udf("embedding")
+    ).localCheckpoint()
+    # query side: probe the nprobe nearest centroids (dot desc, ties →
+    # smaller id, matching the assignment's argmax tie-break)
+    qs = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(ivf_probes2_udf("embedding")).alias("cell"),
     )
     cands = assigned.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "cell"
@@ -2187,11 +2099,7 @@ def ann_ivf_topk(spark, sf_dir):
     pairs = (
         qs.join(cands, "cell")  # equi-join on cell: NOT a crossJoin
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn(
-            "cos",
-            _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-        )
+        .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
@@ -2233,7 +2141,15 @@ _NEAR_DUP_JACCARD = 0.5
     "(iterative min-label propagation), keeper = min doc_id per cluster",
 )
 def dedup_clusters(spark, sf_dir):
-    """Min-label propagation over the candidate-pair graph.
+    return _connected_components(
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= _NEAR_DUP_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over a candidate-pair graph.
 
     Each round every node adopts the smallest label among itself and
     its neighbors; converges in O(graph diameter) rounds — near-dup
@@ -2244,13 +2160,11 @@ def dedup_clusters(spark, sf_dir):
     localCheckpoint'd: iterative lineage otherwise grows exponentially.
     At 10^12-doc scale the same loop runs with a persisted table per
     superstep (or large-star/small-star for long-chain graphs).
+
+    pairs(doc_a, doc_b) → (doc_id, cluster, keep): cluster = min
+    reachable doc_id, keep ⇔ the doc IS its cluster's keeper.
     """
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .filter(F.col("jaccard") >= _NEAR_DUP_JACCARD)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    pairs = pairs.localCheckpoint()
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("src", "dst")
@@ -2280,3 +2194,97 @@ def dedup_clusters(spark, sf_dir):
         F.col("label").alias("cluster"),
         (F.col("doc_id") == F.col("label")).alias("keep"),
     )
+
+
+# The scale-path variant: the exact-jaccard pair producer above joins
+# postings all-pairs per shingle (Σ n_s² work — a hot shingle shared by
+# k docs costs k²). The production shape is candidate-then-verify:
+# MinHash band collisions propose pairs, exact jaccard verifies each
+# candidate via array_intersect on the two shingle SETS (no posting
+# explosion), then the same clustering runs on the verified edges.
+_MHC_SQL = f"""
+      SELECT doc_id, {_MH_HASH_SQL} AS hm
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+"""
+
+
+@q(
+    "dedup_clusters_lsh",
+    "WITH RECURSIVE sh AS ("
+    + _SHINGLES_SQL
+    + f"""
+    ), eh AS ({_MHC_SQL}
+    ), sig AS (SELECT doc_id, {_MH_MINS_SQL} FROM eh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, concat('b0_', mh0, '_', mh1) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, concat('b1_', mh2, '_', mh3) AS band FROM sig
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.doc_id < y.doc_id
+    ), ver AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(a.sh, b.sh)) AS c2,
+          len(a.sh) AS na, len(b.sh) AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b)
+      WHERE c2 / (na + nb - c2) >= {_NEAR_DUP_JACCARD}
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM ver
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM ver
+    ), reach(id, r) AS (
+      SELECT DISTINCT u AS id, u AS r FROM sym
+      UNION
+      SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS keep
+    FROM reach GROUP BY id
+    """,
+    "Scale-path near-dup clustering: MinHash band candidates → exact "
+    "jaccard verify on candidate pairs only (array_intersect of the "
+    "two shingle sets, no posting self-join) → connected components",
+)
+def dedup_clusters_lsh(spark, sf_dir):
+    from eugl_spark.models.signatures import minhash_sig_udf
+
+    sh = _shingles(spark, sf_dir).localCheckpoint()  # reused 3× below
+    sig = sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
+        "doc_id", "_s.*"
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0_"), "mh0", F.lit("_"), "mh1"),
+                F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3"),
+            )
+        ).alias("band"),
+    ).localCheckpoint()  # self-join: don't run the signature kernel per side
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    c2 = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            c2 / (F.size("sh_a") + F.size("sh_b") - c2) >= _NEAR_DUP_JACCARD
+        )
+        .select("doc_a", "doc_b")
+    )
+    return _connected_components(verified)

@@ -103,6 +103,23 @@ def test_planted_families_cluster_and_keep(spark, tmp_path):
     assert res["values_match"], res["diff"]
 
 
+def test_lsh_clusters_recall_vs_exact(spark, sf_dir):
+    """The banded scale path (candidates → verify → CC) must recover
+    nearly all duplicate docs the exact all-pairs path finds, and may
+    never invent a duplicate the exact path doesn't know."""
+    exact = REGISTRY["dedup_clusters"].spark(spark, sf_dir).toPandas()
+    lsh = REGISTRY["dedup_clusters_lsh"].spark(spark, sf_dir).toPandas()
+    exact_docs, lsh_docs = set(exact.doc_id), set(lsh.doc_id)
+    assert lsh_docs <= exact_docs  # banded edges ⊆ exact edges
+    assert len(lsh_docs) / max(len(exact_docs), 1) >= 0.9
+    # keeper rule holds on the banded output too
+    per_cluster = lsh.groupby("cluster").agg(
+        n_keep=("keep", "sum"), min_id=("doc_id", "min")
+    )
+    assert (per_cluster.n_keep == 1).all()
+    assert (per_cluster.index == per_cluster.min_id).all()
+
+
 def test_cluster_output_is_actionable_drop_set(spark, sf_dir):
     """north_rule analog: the clustering must yield a verdict — for
     every cluster exactly one keeper, and it is the min doc_id."""
