@@ -1946,6 +1946,39 @@ def text_top_bigrams(spark, sf_dir):
     )
 
 
+# GPT-2-style pre-tokenizer, reduced to the lookahead-free common
+# subset of Java-regex / RE2 (the real one's `\s+(?!\S)` can't run in
+# DuckDB): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@q(
+    "text_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+        AS n_bpe_tokens,
+      CAST(len(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS BIGINT)
+        AS n_ws_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "Token counting, BPE-ish: GPT-2-style pre-tokenizer regex (common "
+    "Java/RE2 subset) vs plain word tokens — the cost model for "
+    "LLM-token budgeting over a corpus",
+)
+def text_bpe_token_stats(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(H.tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end bucketed ANN: the candidate-then-verify pattern of the
 # reference's gverify chip matching (coarse grid → correlate,

@@ -60,6 +60,36 @@ def stream_pipeline(
     )
 
 
+def stream_dedup_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+) -> StreamingQuery:
+    """Streaming exact dedup: first-seen wins per url.
+
+    The streaming analog of `dedup_exact` for a live crawl: re-crawled
+    urls arriving within the watermark horizon are dropped.
+    `dropDuplicatesWithinWatermark` bounds the dedup state — an entry
+    expires once the watermark passes it, so state size tracks the
+    horizon's url arrival rate, not the corpus (a plain
+    dropDuplicates would grow state forever at 10^12 docs).
+    Exactly-once across restarts via the checkpointed state store.
+    """
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    deduped = src.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_verdict_counts(labeled_stream: DataFrame) -> DataFrame:
     """Watermarked hourly drop-reason distribution (late data ≤ 2h)."""
     return (

@@ -61,6 +61,48 @@ def test_available_now_incremental(spark, drop_dir, tmp_path):
     assert b == s
 
 
+def test_stream_dedup_first_seen_wins(spark, drop_dir, tmp_path):
+    """Re-crawled urls within the watermark are dropped — including
+    across separate AvailableNow runs (checkpointed dedup state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from eugl_spark.streaming.stream import stream_dedup_pages
+
+    def drop(name, urls, minute):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(
+                        [datetime(2024, 1, 1, 0, minute)] * len(urls),
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array([None] * len(urls), pa.binary()),
+                    "text": pa.array(["t"] * len(urls), pa.string()),
+                    "lang": pa.array(["en"] * len(urls), pa.string()),
+                }
+            ),
+            os.path.join(drop_dir, name),
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drop("d0.parquet", ["u1", "u2", "u2", "u3"], minute=0)
+    q = stream_dedup_pages(spark, drop_dir, out, ckpt)
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 3  # u2 deduped in-batch
+
+    drop("d1.parquet", ["u2", "u4"], minute=5)  # u2 re-crawled
+    q = stream_dedup_pages(spark, drop_dir, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # only u4 is new
+    assert {r["url"] for r in got.select("url").collect()} == {
+        "u1", "u2", "u3", "u4",
+    }
+
+
 def test_windowed_verdict_counts(spark, drop_dir, tmp_path):
     _drop(drop_dir, "part-000.parquet", 400, seed=3)
     src = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
