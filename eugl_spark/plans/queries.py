@@ -58,14 +58,18 @@ _TOK_SQL = "[a-z]+"
 # the UDF stages are validated separately against the pandas oracle).
 # ---------------------------------------------------------------------------
 
-_QF_METRICS_SQL = f"""
+def _qf_metrics_sql(src: str = "documents") -> str:
+    """The m/s heuristic-metric CTE pair over any (doc_id, lang,
+    source, text) relation — `src` defaults to the documents view;
+    pipeline_full_corpus points it at an extracted-pages CTE."""
+    return f"""
 WITH m AS (
   SELECT doc_id, lang, source,
     length(text) AS nc,
     length(text) - length(regexp_replace(text, '{_SYM_SQL}', '', 'g')) AS nsym,
     regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks,
     string_split(text, chr(10)) AS lines
-  FROM documents
+  FROM {src}
 ), s AS (
   SELECT doc_id, lang, source, nc,
     CASE WHEN nc > 0 THEN nsym / nc END AS symr,
@@ -82,6 +86,9 @@ WITH m AS (
   FROM m
 )
 """
+
+
+_QF_METRICS_SQL = _qf_metrics_sql()
 
 _QF_REASON_SQL = f"""
   CASE
@@ -376,11 +383,13 @@ _JACCARD_SQL = (
     "Near-dup: word-3-gram Jaccard via shingle explode + self-join",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
-    # self-join below would recompute the shingle+explode lineage per
-    # side — materialize once (at 10^12-doc scale this intermediate is
-    # written to a table instead; localCheckpoint is the local analog)
-    e = sh.select("doc_id", F.explode("sh").alias("s")).localCheckpoint()
+    # materialize the shingle table ONCE: the self-join consumes it
+    # twice and the size side once — without the checkpoint each
+    # consumer re-runs scan+tokenize+shingle (at 10^12-doc scale this
+    # intermediate is written to a table; localCheckpoint is the local
+    # analog)
+    sh = _shingles(spark, sf_dir).localCheckpoint()
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
     n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
     common = (
         e.alias("a")
@@ -1439,7 +1448,7 @@ def embedding_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _langid_cte() -> str:
+def _langid_cte(src: str = "documents") -> str:
     """CTEs lang_tok/tri/lid: detected language per doc, mirroring
     models/langid.py (pad ' tokstr ', count trigram profile hits,
     first-max argmax in LANGS order, confidence gate to 'und')."""
@@ -1458,7 +1467,7 @@ def _langid_cte() -> str:
       SELECT doc_id,
         concat(' ', array_to_string(
           regexp_extract_all(lower(text), '{_TOK_SQL}'), ' '), ' ') AS p
-      FROM documents
+      FROM {src}
     ), tri AS (
       SELECT doc_id, length(p) - 2 AS n_grams,
         list_transform(generate_series(1, length(p) - 2),
@@ -1478,9 +1487,10 @@ _EN_EDGE_SQL = ",".join(
     f"'{a} {b}'" for a, b in sorted(C.BIGRAM_TABLES["en"])
 )
 
-# identical expression SHAPE to models/perplexity.py score_batch:
-# nll = -(n_seen·SEEN + (n_pairs - n_seen)·UNSEEN) / n_pairs
-_PPL_CTE = f"""
+def _ppl_cte(src: str = "documents") -> str:
+    # identical expression SHAPE to models/perplexity.py score_batch:
+    # nll = -(n_seen·SEEN + (n_pairs - n_seen)·UNSEEN) / n_pairs
+    return f"""
     ppl AS (
       SELECT doc_id,
         CASE WHEN nw2 >= 2 THEN
@@ -1497,9 +1507,12 @@ _PPL_CTE = f"""
           ELSE 0 END AS n_seen
         FROM (SELECT doc_id,
                 regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
-              FROM documents)
+              FROM {src})
       )
     )"""
+
+
+_PPL_CTE = _ppl_cte()
 
 
 @q(
@@ -1555,11 +1568,9 @@ def udf_perplexity_documents(spark, sf_dir):
     )
 
 
-@q(
-    "pipeline_docs_verdict",
-    _QF_METRICS_SQL + ", " + _langid_cte() + ", " + _PPL_CTE + f"""
-    SELECT s.doc_id,
-      coalesce(CASE
+# the full DROP_PRECEDENCE chain over the s/lid/ppl CTE columns —
+# shared by the per-doc verdict gate and the end-to-end corpus oracle
+_REASON_CASE_SQL = f"""CASE
         WHEN nc IS NULL OR nc = 0 THEN 'no_content'
         WHEN nc < {C.MIN_CHARS} THEN 'too_short'
         WHEN nc > {C.MAX_CHARS} THEN 'too_long'
@@ -1571,7 +1582,14 @@ def udf_perplexity_documents(spark, sf_dir):
         WHEN det <> 'en' THEN 'langid'
         WHEN swf < {C.MIN_STOPWORD_FRACTION} THEN 'stopword_fraction'
         WHEN nll > {C.MAX_AVG_NLL} THEN 'perplexity'
-      END, 'KEEP') AS reason
+      END"""
+
+
+@q(
+    "pipeline_docs_verdict",
+    _QF_METRICS_SQL + ", " + _langid_cte() + ", " + _PPL_CTE + f"""
+    SELECT s.doc_id,
+      coalesce({_REASON_CASE_SQL}, 'KEEP') AS reason
     FROM s
     JOIN lid ON lid.doc_id = s.doc_id
     JOIN ppl ON ppl.doc_id = s.doc_id
@@ -1601,23 +1619,80 @@ def pipeline_docs_verdict(spark, sf_dir):
     )
 
 
-@q(
-    "pipeline_full_corpus",
-    None,
-    "End-to-end pipeline over the synthetic pages corpus "
-    "(extract → langid → ppl → heuristics → scrub → verdict)",
-)
-def pipeline_full_corpus(spark, sf_dir):
+def ensure_entry_corpus() -> str:
+    """Materialize the deterministic fixture corpus the end-to-end
+    pipeline queries (and their DuckDB oracles) read. Cached by path;
+    called from both the Spark query and `__spark_entry__.oracle_sql`
+    so either side may run first."""
     import os
     import tempfile
 
     from eugl_spark.corpus import write_pages_parquet
-    from eugl_spark.pipeline import apply_pipeline
 
     path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
     if not os.path.exists(path):
         write_pages_parquet(path, n_rows=2000, seed=42)
-    pages = spark.read.parquet(path).drop("_case")
+    return path
+
+
+def _extract_sql(html_col: str = "html") -> str:
+    """The html→text extraction chain (M3) in DuckDB SQL, derived from
+    the same constants the kernel compiles its regexes from: tag
+    strip → entity decode → whitespace collapse → newline collapse →
+    trim. Null html propagates to null text (→ no_content)."""
+    t = f"decode({html_col})"
+    for pat, rep in C.HTML_STRIP_RULES:
+        t = f"regexp_replace({t}, '{pat}', '{rep}', 'g')"
+    for ent, ch in C.HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    t = f"regexp_replace({t}, '{C.WHITESPACE_COLLAPSE_RE}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{C.NEWLINE_COLLAPSE_RE}', chr(10), 'g')"
+    return f"regexp_replace({t}, '{C.TRIM_RE}', '', 'g')"
+
+
+def _corpus_sql() -> str:
+    """End-to-end oracle: read the raw fixture corpus (html binary +
+    optional text), run extraction AND every model/heuristic stage in
+    SQL, emit the drop-reason histogram."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
+    pages = f"""WITH pages AS (
+      SELECT url AS doc_id, lang, NULL AS source,
+        CASE WHEN text IS NOT NULL THEN text ELSE {_extract_sql()} END AS text
+      FROM read_parquet('{path}')
+    )"""
+    metrics = _qf_metrics_sql("pages").replace("\nWITH m AS", "\n, m AS", 1)
+    return (
+        pages
+        + metrics
+        + ", "
+        + _langid_cte("pages")
+        + ", "
+        + _ppl_cte("pages")
+        + f"""
+    SELECT reason, count(*) AS n FROM (
+      SELECT coalesce({_REASON_CASE_SQL}, 'KEEP') AS reason
+      FROM s
+      JOIN lid ON lid.doc_id = s.doc_id
+      JOIN ppl ON ppl.doc_id = s.doc_id
+    ) GROUP BY reason
+    """
+    )
+
+
+@q(
+    "pipeline_full_corpus",
+    _corpus_sql(),
+    "End-to-end pipeline over the raw synthetic pages corpus "
+    "(html extraction → langid → ppl → heuristics → verdict) vs a "
+    "full SQL reimplementation INCLUDING the extraction chain",
+)
+def pipeline_full_corpus(spark, sf_dir):
+    from eugl_spark.pipeline import apply_pipeline
+
+    pages = spark.read.parquet(ensure_entry_corpus()).drop("_case")
     out = apply_pipeline(pages)
     return out.groupBy(
         F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason")
