@@ -179,3 +179,67 @@ def resize_images(media: DataFrame, width: int, height: int,
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, out_schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int, decode=real_decode
+) -> DataFrame:
+    """Video frame sampling: one input row → n_frames output rows.
+
+    Exercises the 1→N mapInPandas shape (decode/feature are 1→1).
+    Frame timestamps are evenly spaced over meta.duration_ms —
+    deterministic, so downstream training-data joins are replayable.
+    Real frame extraction needs pyav (stubbed); the fake path slices
+    the decoded byte signal into n_frames equal chunks. Per-row fault
+    isolation: a corrupt video yields n_frames error rows, never a
+    task failure (M7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [],
+                "frame": [], "error": [],
+            }
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                dur = meta["duration_ms"] if meta is not None else None
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    sig = decode("video", bytes(payload), meta)
+                    k = max(1, sig.size // n_frames)
+                    for j in range(n_frames):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(j)
+                        rows["ts_ms"].append(
+                            int(dur * j // n_frames) if dur else None
+                        )
+                        chunk = sig[j * k : (j + 1) * k]
+                        rows["frame"].append(
+                            bytearray(chunk.astype(np.uint8).tobytes())
+                        )
+                        rows["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    for j in range(n_frames):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(j)
+                        rows["ts_ms"].append(None)
+                        rows["frame"].append(None)
+                        rows["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, FRAME_SCHEMA
+    )

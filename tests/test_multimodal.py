@@ -69,3 +69,36 @@ def test_media_schema_roundtrip(spark, tmp_path):
         (f.name, f.dataType) for f in MEDIA_SCHEMA.fields
     ]
     assert back.count() == 20
+
+
+def test_sample_frames_one_to_n(spark):
+    from eugl_spark.multimodal import sample_frames
+
+    media = synthesize_media(spark, 30)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    out = sample_frames(media, 4, decode=fake_decode).collect()
+    assert len(out) == n_videos * 4  # 1 video → 4 frame rows
+    ok = [r for r in out if r["error"] is None]
+    assert len(ok) == len(out)
+    by_media = {}
+    for r in ok:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for rows in by_media.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == [0, 1, 2, 3]
+        ts = [r["ts_ms"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        assert ts == sorted(ts)  # evenly spaced, monotone
+        assert all(len(r["frame"]) > 0 for r in rows)
+
+
+def test_sample_frames_fault_isolation(spark):
+    from eugl_spark.multimodal import sample_frames
+
+    media = synthesize_media(spark, 9).withColumn(
+        "payload",
+        F.when(F.col("media_id") == 2, F.lit(None)).otherwise(F.col("payload")),
+    )
+    rows = sample_frames(media, 3, decode=fake_decode).collect()
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 3 and all(r["error"] is not None for r in bad)
+    assert all(r["error"] is None for r in rows if r["media_id"] != 2)

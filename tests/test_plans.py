@@ -69,3 +69,25 @@ def test_scan_prunes_unused_columns(spark, sf_dir, name):
     p = _plan(REGISTRY[name].spark(spark, sf_dir))
     read = p.split("ReadSchema")[1][:200]
     assert "source" not in read, read
+
+
+def test_top_bigrams_is_take_ordered(spark, sf_dir):
+    # global top-k must plan as per-partition top-k + driver merge,
+    # never a partition-less row_number window (one-task funnel)
+    p = _plan(REGISTRY["text_top_bigrams"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_asof_join_has_no_join(spark, sf_dir):
+    # J6 as-of: single-pass per-user window — a clicks×views join
+    # multiplies rows per hot user
+    p = _plan(REGISTRY["events_asof_last_view"].spark(spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_verdict_gate_single_python_boundary(spark, sf_dir):
+    p = _plan(REGISTRY["pipeline_docs_verdict"].spark(spark, sf_dir))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
