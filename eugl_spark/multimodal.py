@@ -219,6 +219,12 @@ def sample_frames(
                     if payload is None:
                         raise ValueError("null payload")
                     sig = decode("video", bytes(payload), meta)
+                    if sig.size < n_frames:
+                        # would yield empty frames with error=None —
+                        # flag instead (M7: bad media is an error row)
+                        raise ValueError(
+                            f"signal of {sig.size} samples < {n_frames} frames"
+                        )
                     k = max(1, sig.size // n_frames)
                     for j in range(n_frames):
                         rows["media_id"].append(mid)

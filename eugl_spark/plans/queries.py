@@ -968,55 +968,6 @@ def orders_percentiles(spark, sf_dir):
     )
 
 
-@q(
-    "sigma_clip_quantity",
-    """
-    WITH stats AS (
-      SELECT l_returnflag,
-        sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS ss,
-        count(*) AS n
-      FROM lineitem GROUP BY l_returnflag
-    ), bounds AS (
-      SELECT l_returnflag, s / n AS mu,
-        sqrt((ss - n * (s / n) * (s / n)) / (n - 1)) AS sigma
-      FROM stats
-    )
-    SELECT b.l_returnflag,
-      count(*) AS n_clipped,
-      round(avg(l.l_quantity), 6) AS clipped_mean
-    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
-    WHERE abs(l.l_quantity - b.mu) <= 1.0 * b.sigma
-    GROUP BY b.l_returnflag
-    """,
-    "F2: iterative sigma-clip round (eugl/gqa/tasks.py:496-510); "
-    "variance from exact integer-valued sums for cross-engine determinism",
-)
-def sigma_clip_quantity(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("s"),
-        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
-        F.count("*").alias("n"),
-    )
-    mu = F.col("s") / F.col("n")
-    bounds = stats.select(
-        "l_returnflag",
-        mu.alias("mu"),
-        F.sqrt((F.col("ss") - F.col("n") * mu * mu) / (F.col("n") - 1)).alias(
-            "sigma"
-        ),
-    )
-    return (
-        li.join(F.broadcast(bounds), "l_returnflag")
-        .filter(F.abs(F.col("l_quantity") - F.col("mu")) <= 1.0 * F.col("sigma"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_clipped"),
-            F.round(F.avg("l_quantity"), 6).alias("clipped_mean"),
-        )
-    )
-
-
 def _sigma_clip_rounds(li, n_sigma: float, iterations: int) -> DataFrame:
     """F2: the reference's iterative sigma-clip loop
     (eugl/gqa/tasks.py:496-510, `iterations` in configs/example.cfg:23):
@@ -1024,7 +975,9 @@ def _sigma_clip_rounds(li, n_sigma: float, iterations: int) -> DataFrame:
     set and keeps |x−μ| ≤ nσ. The loop unrolls into one lazy plan —
     `iterations` is a plan-time scalar, so Catalyst sees a fixed chain
     of (agg → broadcast join → filter) stages, each aggregation
-    map-side-partial; no driver materialization between rounds."""
+    map-side-partial; no driver materialization between rounds.
+    Variance comes from exact integer-valued sums (cross-engine
+    determinism)."""
     cur = li.select("l_returnflag", "l_quantity")
     for _ in range(iterations):
         stats = cur.groupBy("l_returnflag").agg(
@@ -1082,6 +1035,28 @@ def _sigma_clip_sql(iterations: int) -> str:
     )
 
 
+def _sigma_clip_report(spark, sf_dir, iterations: int) -> DataFrame:
+    return (
+        _sigma_clip_rounds(
+            _t(spark, sf_dir, "lineitem"), n_sigma=1.0, iterations=iterations
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_clipped"),
+            F.round(F.avg("l_quantity"), 6).alias("clipped_mean"),
+        )
+    )
+
+
+@q(
+    "sigma_clip_quantity",
+    _sigma_clip_sql(1),
+    "F2: one sigma-clip round (eugl/gqa/tasks.py:496-510)",
+)
+def sigma_clip_quantity(spark, sf_dir):
+    return _sigma_clip_report(spark, sf_dir, iterations=1)
+
+
 @q(
     "sigma_clip_iter2",
     _sigma_clip_sql(2),
@@ -1089,15 +1064,7 @@ def _sigma_clip_sql(iterations: int) -> str:
     "survivors of round 1 (eugl/gqa/tasks.py:496-510)",
 )
 def sigma_clip_iter2(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        _sigma_clip_rounds(li, n_sigma=1.0, iterations=2)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_clipped"),
-            F.round(F.avg("l_quantity"), 6).alias("clipped_mean"),
-        )
-    )
+    return _sigma_clip_report(spark, sf_dir, iterations=2)
 
 
 @q(
@@ -1631,7 +1598,12 @@ def ensure_entry_corpus() -> str:
 
     path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
     if not os.path.exists(path):
-        write_pages_parquet(path, n_rows=2000, seed=42)
+        # write-then-rename: concurrent processes (pytest + bench) may
+        # race on the shared fixture path; a direct write would let one
+        # reader see a truncated file. os.replace is atomic same-fs.
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_pages_parquet(tmp, n_rows=2000, seed=42)
+        os.replace(tmp, path)
     return path
 
 
@@ -2024,8 +1996,14 @@ def text_top_bigrams(spark, sf_dir):
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common
 # subset of Java-regex / RE2 (the real one's `\s+(?!\S)` can't run in
 # DuckDB): contractions, space-prefixed letter runs, digit runs,
-# punctuation runs, whitespace runs.
-_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+# punctuation runs, whitespace. `\s` itself is NOT common subset —
+# Java includes \x0B in \s, RE2 does not — so whitespace is an
+# explicit ASCII class that means the same thing in both engines.
+_WS_CLS = r" \t\n\r\f\x0B"
+_BPE_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS_CLS}']+|[{_WS_CLS}]"
+)
 _BPE_RE_SQL = _BPE_RE.replace("'", "''")
 
 
@@ -2339,7 +2317,7 @@ _MHC_SQL = f"""
         FROM cand c
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b)
-      WHERE c2 / (na + nb - c2) >= {_NEAR_DUP_JACCARD}
+      WHERE c2 >= 2 AND round(c2 / (na + nb - c2), 6) >= {_NEAR_DUP_JACCARD}
     ), sym AS (
       SELECT doc_a AS u, doc_b AS v FROM ver
       UNION ALL
@@ -2387,11 +2365,21 @@ def dedup_clusters_lsh(spark, sf_dir):
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     c2 = F.size(F.array_intersect("sh_a", "sh_b"))
+    # SAME edge rule as the exact path (c >= 2 floor, jaccard rounded
+    # to 6dp before the threshold): banded edges must be a strict
+    # subset of exact edges, never a superset — the recall test pins
+    # `lsh_docs ⊆ exact_docs`
     verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(
-            c2 / (F.size("sh_a") + F.size("sh_b") - c2) >= _NEAR_DUP_JACCARD
+            (c2 >= 2)
+            & (
+                F.round(
+                    c2 / (F.size("sh_a") + F.size("sh_b") - c2), 6
+                )
+                >= _NEAR_DUP_JACCARD
+            )
         )
         .select("doc_a", "doc_b")
     )

@@ -25,13 +25,17 @@ def _ship_package(spark: SparkSession) -> None:
     (model tables in eugl_spark.models.*) deserialize on any worker,
     local or cluster.
     """
+    import atexit
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     # per-process path: bench --scaling runs two Spark processes
     # concurrently; a shared zip could be truncated by one while the
-    # other's executors fetch it
+    # other's executors fetch it. Cleaned up at interpreter exit so
+    # repeated runs don't accumulate orphaned zips in the temp dir.
     zpath = os.path.join(
         tempfile.gettempdir(), f"eugl_spark_pyfiles_{os.getpid()}.zip"
     )
+    atexit.register(lambda: os.path.exists(zpath) and os.remove(zpath))
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

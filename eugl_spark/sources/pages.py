@@ -97,22 +97,31 @@ def compact_bucket(
 
     Incremental runs (resume batches, streaming epochs) accumulate
     small files per bucket; scans then pay per-file open cost. This is
-    the plain-parquet local analog of Iceberg's rewrite_data_files:
-    write the compacted copy BESIDE the live directory, then swap —
-    readers of the partitioned root never observe a half-written
-    bucket (on an object store / Iceberg catalog the swap is a
-    metadata commit). Returns (files_before, files_after).
+    the plain-parquet local analog of Iceberg's rewrite_data_files.
+    The compacted copy is written to an underscore-prefixed sibling
+    (Spark's partition discovery ignores `_*` paths), then the live
+    directory is renamed ASIDE before the new one is renamed in, and
+    only then deleted — at no point does only a half-written copy
+    exist; a crash mid-swap leaves the data recoverable in `_compact_*`
+    or `_old_*`. Two directory renames are still not one atomic
+    operation: on an object store / Iceberg catalog this step is a
+    metadata commit instead. Returns (files_before, files_after).
     """
-    bdir = os.path.join(out_dir, "pages_out", f"bucket={bucket}")
+    root = os.path.join(out_dir, "pages_out")
+    bdir = os.path.join(root, f"bucket={bucket}")
     files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
     total = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_out >= len(files):
         return (len(files), len(files))
-    tmp = bdir + "._compact"
+    tmp = os.path.join(root, f"_compact_bucket={bucket}")
+    old = os.path.join(root, f"_old_bucket={bucket}")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftovers
+    shutil.rmtree(old, ignore_errors=True)
     spark.read.parquet(bdir).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(bdir)
-    os.replace(tmp, bdir)
+    os.rename(bdir, old)
+    os.rename(tmp, bdir)
+    shutil.rmtree(old)
     n_after = len([f for f in os.listdir(bdir) if f.endswith(".parquet")])
     return (len(files), n_after)
 

@@ -78,6 +78,13 @@ def stream_dedup_pages(
     Exactly-once across restarts via the checkpointed state store.
     """
     src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    # damaged records carry a null warc_ts (warc.py's try_to_timestamp
+    # tolerance); a null event time would be treated as epoch-0 and
+    # silently discarded as late once the watermark advances — backfill
+    # with arrival time so tolerated-damage rows still dedup correctly
+    src = src.withColumn(
+        "warc_ts", F.coalesce(F.col("warc_ts"), F.current_timestamp())
+    )
     deduped = src.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["url"]
     )
