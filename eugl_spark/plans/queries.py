@@ -2061,9 +2061,7 @@ def _band_val_sql(k: int) -> str:
     )
 
 
-@q(
-    "ann_lsh_pairs",
-    f"""
+_LSH_PAIRS_SQL = f"""
     WITH s AS (
       SELECT vec_id, {_band_val_sql(0)} AS b0, {_band_val_sql(1)} AS b1
       FROM embeddings
@@ -2081,7 +2079,12 @@ def _band_val_sql(k: int) -> str:
     JOIN embeddings b ON b.vec_id = c.id_b
     WHERE {_dot_sql('a', 'b')}
       / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}) >= 0.4
-    """,
+    """
+
+
+@q(
+    "ann_lsh_pairs",
+    _LSH_PAIRS_SQL,
     "ANN scale path end-to-end: multi-band hyperplane LSH candidates "
     "→ exact-cosine verify (no full-table crossJoin)",
 )
@@ -2193,6 +2196,33 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id", "rank")
     )
+
+
+@q(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE lsh_pairs AS ({_LSH_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM lsh_pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM lsh_pairs
+    ), reach(id, r) AS (
+      SELECT DISTINCT u AS id, u AS r FROM sym
+      UNION
+      SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS keep
+    FROM reach GROUP BY id
+    """,
+    "Embedding-modality near-dup verdict: bucketed cosine pairs "
+    "(ann_lsh_pairs) → connected components → keeper per cluster — "
+    "the semantic-dedup counterpart of the text-shingle clustering",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    pairs = ann_lsh_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------
