@@ -132,6 +132,66 @@ def main_bench() -> None:
     spark.stop()
 
 
+def documents_path(sf: float) -> str:
+    """Synthetic documents table for the dedup scaling job (cached).
+
+    Two sizing constraints, both measured:
+    * big enough that steady-state shuffle/kernel work dominates the
+      ~1s of fixed per-job cost (scheduling, checkpoint boundaries,
+      final collect) — at 100k tiny-vocab docs the 1-core job ran ~4s
+      and Amdahl capped the 1→4 ratio at ~2.3× regardless of engine;
+    * realistic DIVERSITY: the pages corpus draws from a 48-word
+      vocabulary (≤768 possible 3-gram shingles), so at 300k docs the
+      MinHash bands degenerate into a quadratic all-pairs join (176s
+      at 1 core) — a self-similarity level no real crawl has. Here
+      each doc samples 60 words from a 20k-word vocabulary, with ~5%
+      planted near-dup copies (2-word edits), so band collisions are
+      dominated by true duplicates.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = max(150_000, int(sf * 1_500_000))
+    path = os.path.join(tempfile.gettempdir(), f"eugl_bench_docs2_{n}.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+
+        def word(k: int) -> str:
+            s = ""
+            for _ in range(4):
+                s += chr(97 + k % 26)
+                k //= 26
+            return s
+
+        vocab = np.asarray([word(i) for i in range(20_000)], dtype=object)
+        idx = rng.randint(0, len(vocab), size=(n, 60))
+        dup = np.flatnonzero(rng.rand(n) < 0.05)
+        dup = dup[dup > 0]
+        src_of = rng.randint(0, n, size=len(dup))
+        idx[dup] = idx[src_of]
+        edit_pos = rng.randint(0, 60, size=(len(dup), 2))
+        for r, (p1, p2) in zip(dup, edit_pos):
+            idx[r, p1] = rng.randint(0, len(vocab))
+            idx[r, p2] = rng.randint(0, len(vocab))
+        texts = [" ".join(vocab[row]) for row in idx]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(
+                    [f"s{i % 50}" for i in range(n)], pa.string()
+                ),
+            }
+        )
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(tbl, tmp, row_group_size=8192)
+        os.replace(tmp, path)
+    return path
+
+
 def main_pipeline_only(cores: int) -> None:
     from eugl_spark.session import get_spark
 
@@ -145,11 +205,30 @@ def main_pipeline_only(cores: int) -> None:
     spark = get_spark(f"scal{cores}", cores=cores, shuffle_partitions=cores)
     n = run_pipeline_once(spark, pages)  # warm-up: JIT + Arrow workers
     secs = []
-    for _ in range(3):  # best-of-3: the shared host is noisy (±40%)
+    for _ in range(5):  # best-of-5: the shared host is noisy (±40%)
         t0 = time.time()
         n = run_pipeline_once(spark, pages)
         secs.append(time.time() - t0)
-    print(f"DOCS {n} SECS {min(secs):.3f}")
+    # second scaling job: shuffle-heavy dedup over a documents dir
+    ddir = os.path.join(tempfile.gettempdir(), f"eugl_bench_docs_dir_{cores}")
+    os.makedirs(ddir, exist_ok=True)
+    src = documents_path(sf)
+    dst = os.path.join(ddir, "documents.parquet")
+    if os.path.exists(dst):  # stale link from a differently-sized run
+        os.remove(dst)
+    os.link(src, dst)
+    from eugl_spark.plans.queries import REGISTRY
+
+    def dedup_once():
+        return REGISTRY["dedup_minhash_bands"].spark(spark, ddir).count()
+
+    dedup_once()  # warm
+    dsecs = []
+    for _ in range(5):
+        t0 = time.time()
+        nd = dedup_once()
+        dsecs.append(time.time() - t0)
+    print(f"DOCS {n} SECS {min(secs):.3f} DSECS {min(dsecs):.3f}")
     spark.stop()
 
 
@@ -161,12 +240,19 @@ def _child_cmd(cores: int, cpu_list: str) -> list[str]:
     return cmd
 
 
-def _parse_child(out: subprocess.CompletedProcess) -> tuple[int, float]:
-    m = re.search(r"DOCS (\d+) SECS ([0-9.]+)", out.stdout)
+def _parse_child_text(text: str) -> tuple[int, float, float]:
+    m = re.search(r"DOCS (\d+) SECS ([0-9.]+) DSECS ([0-9.]+)", text)
     if not m:
-        print(out.stdout, out.stderr, file=sys.stderr)
         raise RuntimeError("child run failed")
-    return int(m.group(1)), float(m.group(2))
+    return int(m.group(1)), float(m.group(2)), float(m.group(3))
+
+
+def _parse_child(out: subprocess.CompletedProcess) -> tuple[int, float, float]:
+    try:
+        return _parse_child_text(out.stdout)
+    except RuntimeError:
+        print(out.stdout, out.stderr, file=sys.stderr)
+        raise
 
 
 def main_scaling() -> None:
@@ -181,6 +267,11 @@ def main_scaling() -> None:
     simultaneous pair sees identical conditions and yields a
     meaningful ratio."""
     cwd = os.path.dirname(os.path.abspath(__file__))
+    # pre-materialize both inputs so the concurrent children don't
+    # race (and double-pay) the one-time generation cost
+    sf0 = _sf_of(SF_DIR)
+    corpus_path(sf0 * 4)
+    documents_path(sf0)
     p1 = subprocess.Popen(
         _child_cmd(1, "0"), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, cwd=cwd,
@@ -193,36 +284,39 @@ def main_scaling() -> None:
     o4, e4 = p4.communicate()
     results = {}
     for cores, o, e, p in ((1, o1, e1, p1), (4, o4, e4, p4)):
-        m = re.search(r"DOCS (\d+) SECS ([0-9.]+)", o)
-        if not m:
+        try:
+            n, secs, dsecs = _parse_child_text(o)
+        except RuntimeError:
             print(o, e, file=sys.stderr)
-            raise RuntimeError(f"child {cores} failed")
-        n, secs = int(m.group(1)), float(m.group(2))
-        results[cores] = (n, secs, n / secs)
+            raise RuntimeError(f"child {cores} failed") from None
+        results[cores] = (n, secs, n / secs, dsecs)
     # curve points (sequential; indicative only under host drift)
     for cores in (8, 32):
         out = subprocess.run(
             _child_cmd(cores, f"0-{cores - 1}"),
             capture_output=True, text=True, check=True, cwd=cwd,
         )
-        n, secs = _parse_child(out)
-        results[cores] = (n, secs, n / secs)
+        n, secs, dsecs = _parse_child(out)
+        results[cores] = (n, secs, n / secs, dsecs)
 
     tp1, tp4, tp8, tp32 = (results[c][2] for c in (1, 4, 8, 32))
+    d1, d4 = results[1][3], results[4][3]
     eff14 = (tp4 / tp1) / 4
+    deff14 = (d1 / d4) / 4  # same input both levels: time ratio = speedup
     eff832 = (tp32 / tp8) / 4
     sf = _sf_of(SF_DIR)
     md = f"""# BENCH — measured baseline (eugl_spark)
 
-Pipeline: full quality filter (extract → heuristics → langid →
-perplexity → scrub → verdict) over the deterministic synthetic pages
-corpus ({results[8][0]} docs), identical job + input at CPU-pinned
-(taskset) parallelism levels — the sandbox proxy for N vs 4N
-executors (BASELINE.md). Cold JVM per level; best of 3 timed runs
-after a warm-up. The 1- and 4-core runs execute CONCURRENTLY on
-disjoint CPU sets: this shared host's absolute throughput drifts
-several-fold between minutes, so only a simultaneous pair yields a
-meaningful ratio (8/32 rows are sequential, indicative only).
+Two jobs, identical input at CPU-pinned (taskset) parallelism levels —
+the sandbox proxy for N vs 4N executors (BASELINE.md). Cold JVM per
+level; best of 5 timed runs after a warm-up. The 1- and 4-core runs
+execute CONCURRENTLY on disjoint CPU sets: this shared host's absolute
+throughput drifts several-fold between minutes, so only a simultaneous
+pair yields a meaningful ratio (8/32 rows are sequential, indicative
+only).
+
+**Job A — pipeline** (map-only: extract → heuristics → langid →
+perplexity → scrub → verdict over {results[8][0]} synthetic pages):
 
 | parallelism | docs | sec | docs/sec |
 |---|---|---|---|
@@ -231,17 +325,34 @@ meaningful ratio (8/32 rows are sequential, indicative only).
 | local[8]  | {results[8][0]} | {results[8][1]:.2f} | {tp8:.0f} |
 | local[32] | {results[32][0]} | {results[32][1]:.2f} | {tp32:.0f} |
 
-**Scaling efficiency N→4N (1→4 cores)** = (docs/sec@4 ÷ docs/sec@1) ÷ 4
-= **{eff14:.2f}** (target ≥ 0.8, BASELINE.json).
+**Job B — MinHash band dedup** (shuffle-heavy: signature kernel →
+band explode → self-join → distinct, i.e. exchange scaling, which the
+map-only job can't show):
 
-8→32 cores measures **{eff832:.2f}**: this host's memory subsystem
-saturates above ~8-12 active cores for string workloads — four
-*independent* CPU-pinned 8-core JVMs running the same job aggregate
-only ~2.3× one JVM's throughput, so past ~8 cores the box measures
-its memory bus, not the engine. On a real N→4N *executor* scale-out
-each machine brings its own memory bus; the 1→4 pair (fully below the
-saturation knee) is the faithful proxy for coordination/shuffle
-overhead, which is what the criterion tests.
+| parallelism | sec |
+|---|---|
+| local[1]  | {d1:.2f} |
+| local[4]  | {d4:.2f} |
+| local[8]  | {results[8][3]:.2f} |
+| local[32] | {results[32][3]:.2f} |
+
+**Scaling efficiency N→4N (1→4 cores)**: the criterion job — the
+quality-filter pipeline (BASELINE.json "docs/sec with scaling
+efficiency ≥ 0.8") — measures (docs/sec@4 ÷ docs/sec@1) ÷ 4 =
+**{eff14:.2f}** (target ≥ 0.8). Supplementary evidence that exchange
+stages scale too: the shuffle-heavy dedup job measures (t@1 ÷ t@4) ÷ 4
+= **{deff14:.2f}** — its residual gap is the ~1s of fixed driver cost
+(checkpoint job boundaries, final collect) against a {d1:.0f}s job,
+which amortizes further with input size.
+
+8→32 cores measures **{eff832:.2f}** on the pipeline: this host's
+memory subsystem saturates above ~8-12 active cores for string
+workloads — four *independent* CPU-pinned 8-core JVMs running the
+same job aggregate only ~2.3× one JVM's throughput, so past ~8 cores
+the box measures its memory bus, not the engine. On a real N→4N
+*executor* scale-out each machine brings its own memory bus; the 1→4
+pair (fully below the saturation knee) is the faithful proxy for
+coordination/shuffle overhead, which is what the criterion tests.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -258,6 +369,9 @@ overhead, which is what the criterion tests.
                     "docs_per_sec_local8": round(tp8, 1),
                     "docs_per_sec_local32": round(tp32, 1),
                     "efficiency_8_to_32": round(eff832, 3),
+                    "dedup_efficiency_1_to_4": round(deff14, 3),
+                    "dedup_sec_local1": round(d1, 3),
+                    "dedup_sec_local4": round(d4, 3),
                 },
                 "sf": sf,
             }
