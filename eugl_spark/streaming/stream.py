@@ -78,18 +78,24 @@ def stream_dedup_pages(
     Exactly-once across restarts via the checkpointed state store.
     """
     src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-    # damaged records carry a null warc_ts (warc.py's try_to_timestamp
-    # tolerance); a null event time would be treated as epoch-0 and
-    # silently discarded as late once the watermark advances — backfill
-    # with arrival time so tolerated-damage rows still dedup correctly
-    src = src.withColumn(
-        "warc_ts", F.coalesce(F.col("warc_ts"), F.current_timestamp())
+    # Damaged records carry a null warc_ts (warc.py's try_to_timestamp
+    # tolerance). They must NOT enter the watermarked operator: treated
+    # as epoch-0 they'd be dropped as late, and backfilling with
+    # wall-clock time would POISON the checkpointed watermark (one
+    # damaged row would advance it past the whole historical crawl,
+    # discarding every later record). With no usable event time they
+    # dedup on a separate time-free path whose state grows only with
+    # the number of distinct damaged urls — the damage rate, not the
+    # corpus.
+    timed = (
+        src.filter(F.col("warc_ts").isNotNull())
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
     )
-    deduped = src.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["url"]
-    )
+    damaged = src.filter(F.col("warc_ts").isNull()).dropDuplicates(["url"])
     return (
-        deduped.writeStream.format("parquet")
+        timed.unionByName(damaged)
+        .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -48,7 +48,8 @@ def test_hot_host_spans_many_partitions(spark, pages_path):
         .orderBy(F.desc("count"))
         .first()["h"]
     )
-    salted = pages.repartition(32, host(F.col("url")), salt(F.col("url")))
+    n_part = 32
+    salted = pages.repartition(n_part, host(F.col("url")), salt(F.col("url")))
     spread = (
         salted.filter(host(F.col("url")) == hot)
         .select(F.spark_partition_id().alias("p"))
@@ -57,5 +58,5 @@ def test_hot_host_spans_many_partitions(spark, pages_path):
     )
     # SALT_FACTOR salt keys spread the hot host across up to
     # min(SALT_FACTOR, n_partitions) partitions (minus hash collisions)
-    expected = min(C.SALT_FACTOR, 32)
+    expected = min(C.SALT_FACTOR, n_part)
     assert spread >= expected // 2, (spread, expected)

@@ -103,6 +103,56 @@ def test_stream_dedup_first_seen_wins(spark, drop_dir, tmp_path):
     }
 
 
+def test_stream_dedup_damaged_records_do_not_poison_watermark(
+    spark, drop_dir, tmp_path
+):
+    """A damaged record (null warc_ts) must neither be dropped as late
+    NOR advance the watermark past the historical crawl (backfilling
+    with wall-clock time would silently discard every later 2024-era
+    record)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from eugl_spark.streaming.stream import stream_dedup_pages
+
+    def drop(name, rows):  # rows: [(url, ts-or-None)]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([u for u, _ in rows], pa.string()),
+                    "warc_ts": pa.array(
+                        [t for _, t in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array([None] * len(rows), pa.binary()),
+                    "text": pa.array(["t"] * len(rows), pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(drop_dir, name),
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1)
+    # run 1: a damaged record arrives first
+    drop("d0.parquet", [("bad1", None)])
+    stream_dedup_pages(spark, drop_dir, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 1
+    # run 2: historical records must still be accepted afterwards
+    drop("d1.parquet", [("u1", t0), ("u2", t0)])
+    stream_dedup_pages(spark, drop_dir, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 3
+    # run 3: damaged url re-arrives (dedup on the time-free path);
+    # a new historical url is still accepted
+    drop("d2.parquet", [("bad1", None), ("u3", t0)])
+    stream_dedup_pages(spark, drop_dir, out, ckpt).awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert {r["url"] for r in got.select("url").collect()} == {
+        "bad1", "u1", "u2", "u3",
+    }
+
+
 def test_windowed_verdict_counts(spark, drop_dir, tmp_path):
     _drop(drop_dir, "part-000.parquet", 400, seed=3)
     src = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
