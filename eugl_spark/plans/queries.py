@@ -2292,15 +2292,20 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
-        msgs = edges.join(
-            labels, edges["src"] == labels["doc_id"]
-        ).select(F.col("dst").alias("doc_id"), "label")
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+        # two supersteps per materialization: labels only ever
+        # decrease, so a fixpoint of the double-step IS a fixpoint of
+        # the single step — same result, half the job boundaries
+        # (each checkpoint+agg is a fixed driver-side cost)
+        for _ in range(2):
+            msgs = edges.join(
+                labels, edges["src"] == labels["doc_id"]
+            ).select(F.col("dst").alias("doc_id"), "label")
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+        labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
