@@ -5,7 +5,10 @@ Catalyst higher-order functions — ``F.aggregate(F.zip_with(...))`` is
 interpreted per element (no whole-stage codegen for lambda
 expressions), so 8 planes × 64 dims per row dominated the ANN bench
 times. These kernels do the same math as one numpy pass per Arrow
-batch (the consolidated-kernel pattern of models/doc_kernel.py).
+batch (the consolidated-kernel pattern of models/doc_kernel.py; the
+coarse-assign-then-exact-verify structure they feed mirrors the
+reference's gverify chip matching, coarse grid → correlate,
+/root/reference/eugl/gqa/tasks.py:235-280).
 
 Determinism contract — bit-identical to the Catalyst/DuckDB oracles:
 floating-point addition is not associative, so the reductions are
