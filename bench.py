@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_pairs",
     "ann_ivf_topk",
+    "ann_kmeans_cells",
     "events_asof_last_view",
     "events_sessionize",
     "tpch_q1_pricing_summary",

@@ -2226,6 +2226,145 @@ def dedup_embedding_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Trained IVF quantizer: 2 Lloyd (k-means) iterations expressed as
+# DataFrame supersteps — the iterative-algorithm pattern (the fixed
+# pseudo-centroids above are the untrained baseline). Cross-engine
+# determinism: distances are sequential index-order folds; updated
+# centroids are ROUNDED to 6dp after each mean (absorbs the engines'
+# different float summation orders — the reference applies the same
+# round-for-stability idea to its affine fits,
+# /root/reference/eugl/gqa/geometric_utils.py:475-477).
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared euclidean,
+    ties → smallest centroid id). Broadcast join: the model state is
+    K rows however large the corpus."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: element-wise mean per cell, rounded to 6dp."""
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_pm")
+        )
+        .select(
+            "cell",
+            F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("cvec"),
+        )
+    )
+
+
+def _kmeans_sql() -> str:
+    """The same 2 Lloyd iterations unrolled in DuckDB SQL: assign CTEs
+    (argmin over sequential squared-distance folds) and update CTEs
+    (per-position mean rounded to 6dp, re-assembled in index order)."""
+
+    def assign(a: str, c: str) -> str:
+        d = (
+            "list_sum(list_transform(generate_series(1, 64),"
+            " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+            " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+        )
+        return f"""{a} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {d}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN {c} c)
+      WHERE rn = 1
+    )"""
+
+    def update(c: str, a: str) -> str:
+        return f"""{c} AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
+        FROM (SELECT cell, unnest(embedding) AS x,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM {a})
+        GROUP BY cell, pos)
+      GROUP BY cell
+    )"""
+
+    ctes = [
+        f"""c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+        list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+      FROM embeddings WHERE vec_id < {_KMEANS_K}
+    )"""
+    ]
+    for i in range(_KMEANS_ITERS):
+        ctes.append(assign(f"a{i}", f"c{i}"))
+        ctes.append(update(f"c{i + 1}", f"a{i}"))
+    ctes.append(assign(f"a{_KMEANS_ITERS}", f"c{_KMEANS_ITERS}"))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT cell, count(*) AS n, min(vec_id) AS min_id
+    FROM a{_KMEANS_ITERS} GROUP BY cell
+    """
+    )
+
+
+@q(
+    "ann_kmeans_cells",
+    _kmeans_sql(),
+    "Trained IVF coarse quantizer: 2 Lloyd iterations as DataFrame "
+    "supersteps (assign = broadcast argmin join, update = posexplode "
+    "mean), centroids 6dp-rounded per step for cross-engine "
+    "determinism; output = final cell histogram",
+)
+def ann_kmeans_cells(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic init: the first K vectors are the seed centroids
+    centroids = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("cvec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, centroids)
+        centroids = _kmeans_update(assigned).localCheckpoint()
+    final = _kmeans_assign(emb, centroids)
+    return final.groupBy("cell").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering + keeper selection: candidate pairs → connected
 # components → keeper per cluster. This is the per-document analog of
 # the reference's per-granule keep/drop verdict (eugl/metadata.py:120-127)
