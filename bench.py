@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_lsh_pairs",
     "ann_ivf_topk",
     "ann_kmeans_cells",
+    "ann_kmeans_topk",
     "events_asof_last_view",
     "events_sessionize",
     "tpch_q1_pricing_summary",

@@ -2282,28 +2282,26 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """The same 2 Lloyd iterations unrolled in DuckDB SQL: assign CTEs
-    (argmin over sequential squared-distance folds) and update CTEs
-    (per-position mean rounded to 6dp, re-assembled in index order)."""
+_KM_DIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+)
 
-    def assign(a: str, c: str) -> str:
-        d = (
-            "list_sum(list_transform(generate_series(1, 64),"
-            " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
-            " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
-        )
-        return f"""{a} AS (
+
+def _km_assign_sql(a: str, c: str) -> str:
+    return f"""{a} AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY {d}, c.cell) AS rn
+            ORDER BY {_KM_DIST_SQL}, c.cell) AS rn
         FROM embeddings e CROSS JOIN {c} c)
       WHERE rn = 1
     )"""
 
-    def update(c: str, a: str) -> str:
-        return f"""{c} AS (
+
+def _km_update_sql(c: str, a: str) -> str:
+    return f"""{c} AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
         SELECT cell, pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
         FROM (SELECT cell, unnest(embedding) AS x,
@@ -2313,6 +2311,13 @@ def _kmeans_sql() -> str:
       GROUP BY cell
     )"""
 
+
+def _kmeans_ctes() -> str:
+    """The 2 Lloyd iterations unrolled in DuckDB SQL: assign CTEs
+    (argmin over sequential squared-distance folds) and update CTEs
+    (per-position mean rounded to 6dp, re-assembled in index order).
+    Ends with a{_KMEANS_ITERS} (final assignment) and
+    c{_KMEANS_ITERS} (trained centroids)."""
     ctes = [
         f"""c0 AS (
       SELECT CAST(vec_id AS INT) AS cell,
@@ -2321,15 +2326,44 @@ def _kmeans_sql() -> str:
     )"""
     ]
     for i in range(_KMEANS_ITERS):
-        ctes.append(assign(f"a{i}", f"c{i}"))
-        ctes.append(update(f"c{i + 1}", f"a{i}"))
-    ctes.append(assign(f"a{_KMEANS_ITERS}", f"c{_KMEANS_ITERS}"))
+        ctes.append(_km_assign_sql(f"a{i}", f"c{i}"))
+        ctes.append(_km_update_sql(f"c{i + 1}", f"a{i}"))
+    ctes.append(_km_assign_sql(f"a{_KMEANS_ITERS}", f"c{_KMEANS_ITERS}"))
+    return "WITH " + ", ".join(ctes)
+
+
+def _kmeans_sql() -> str:
     return (
-        "WITH "
-        + ", ".join(ctes)
+        _kmeans_ctes()
         + f"""
     SELECT cell, count(*) AS n, min(vec_id) AS min_id
     FROM a{_KMEANS_ITERS} GROUP BY cell
+    """
+    )
+
+
+def _kmeans_topk_sql() -> str:
+    return (
+        _kmeans_ctes()
+        + f""", probes AS (
+      SELECT vec_id AS q_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {_KM_DIST_SQL}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+        WHERE e.vec_id < 10)
+      WHERE rn <= {_IVF_NPROBE}
+    ), km_pairs AS (
+      SELECT p.q_id, n.vec_id AS n_id,
+        {_dot_sql('p', 'n')}
+          / ({_NORM_SQL.format(v='p')} * {_NORM_SQL.format(v='n')}) AS cos
+      FROM probes p
+      JOIN a{_KMEANS_ITERS} n ON n.cell = p.cell AND n.vec_id <> p.q_id
+    )
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM km_pairs) WHERE rank <= 5
     """
     )
 
@@ -2344,7 +2378,15 @@ def _kmeans_sql() -> str:
 )
 def ann_kmeans_cells(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # deterministic init: the first K vectors are the seed centroids
+    final = _kmeans_assign(emb, _kmeans_centroids(emb))
+    return final.groupBy("cell").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    )
+
+
+def _kmeans_centroids(emb: DataFrame) -> DataFrame:
+    """Train the quantizer: deterministic init (first K vectors),
+    _KMEANS_ITERS Lloyd rounds, centroids checkpointed per round."""
     centroids = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
         .select(
@@ -2358,9 +2400,55 @@ def ann_kmeans_cells(spark, sf_dir):
     for _ in range(_KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
         centroids = _kmeans_update(assigned).localCheckpoint()
-    final = _kmeans_assign(emb, centroids)
-    return final.groupBy("cell").agg(
-        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    return centroids
+
+
+@q(
+    "ann_kmeans_topk",
+    _kmeans_topk_sql(),
+    "ANN search with the TRAINED quantizer: assign the table to the "
+    "k-means cells, probe each query's nprobe=2 nearest trained "
+    "centroids, exact top-5 within probed cells only",
+)
+def ann_kmeans_topk(spark, sf_dir):
+    from eugl_spark.models.embedding_kernels import cosine_udf
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _kmeans_centroids(emb)
+    assigned = _kmeans_assign(emb, centroids).localCheckpoint()
+    # query probes: 2 nearest trained centroids (dist asc, ties → min cell)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cvec"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("q_id").orderBy("dist", "cell")
+    probes = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= _IVF_NPROBE)
+        .select("q_id", "qv", "cell")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "cell"
+    )
+    pairs = (
+        probes.join(cands, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank")
     )
 
 

@@ -36,6 +36,21 @@ def test_lsh_pairs_subset_and_recall(spark, sf_dir):
     assert len(lsh & brute) / max(len(brute), 1) >= 0.30
 
 
+def test_kmeans_topk_recall_beats_fixed_quantizer(spark, sf_dir):
+    """Training the quantizer must pay: measured 0.86 recall@5 at
+    sf0.01 (vs 0.34 for the fixed pseudo-centroids) while still
+    scanning only nprobe/K ≈ 25% of the table."""
+    brute = {
+        (r.q_id, r.n_id)
+        for r in REGISTRY["ann_topk_bruteforce"].spark(spark, sf_dir).collect()
+    }
+    km = {
+        (r.q_id, r.n_id)
+        for r in REGISTRY["ann_kmeans_topk"].spark(spark, sf_dir).collect()
+    }
+    assert len(km & brute) / len(brute) >= 0.70
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     brute = {
         (r.q_id, r.n_id)
