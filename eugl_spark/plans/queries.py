@@ -1993,6 +1993,77 @@ def text_top_bigrams(spark, sf_dir):
     )
 
 
+# Leakage-safe dataset split: the unit of assignment is the HOST
+# (source), not the document — near-duplicates cluster within a host,
+# so a per-doc split would leak train content into eval. Deterministic
+# hash split via the md5-prefix trick (same integer in both engines).
+_SPLIT_HASH_SQL = (
+    "CAST(concat('0x', substring(md5(source), 1, 15)) AS BIGINT) % 100"
+)
+
+
+@q(
+    "split_train_val_test",
+    f"""
+    SELECT doc_id, source,
+      CASE WHEN {_SPLIT_HASH_SQL} < 80 THEN 'train'
+           WHEN {_SPLIT_HASH_SQL} < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+    "Training-data op: deterministic 80/10/10 train/val/test split "
+    "assigned per HOST (leakage-safe: a host's near-dups can't "
+    "straddle splits), pure hash — no sample() nondeterminism",
+)
+def split_train_val_test(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return df.select("doc_id", "source", split.alias("split"))
+
+
+_TOKEN_BUDGET = 2000
+
+
+@q(
+    "corpus_token_budget",
+    f"""
+    SELECT doc_id, source, cum_tokens FROM (
+      SELECT doc_id, source,
+        CAST(sum(len(regexp_extract_all(lower(text), '{_TOK_SQL}')))
+          OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens,
+        CAST(coalesce(sum(len(regexp_extract_all(lower(text), '{_TOK_SQL}')))
+          OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS before_tokens
+      FROM documents WHERE text IS NOT NULL)
+    WHERE before_tokens < {_TOKEN_BUDGET}
+    """,
+    "Training-data op: per-source token budgeting — keep documents "
+    "(in doc_id order) until the source's cumulative token budget is "
+    "spent; the window form of training-mix sampling",
+)
+def corpus_token_budget(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nt = F.size(H.tokens(F.col("text"))).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(nt).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    before = F.coalesce(
+        F.sum(nt).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("cum_tokens", cum.cast("long"))
+        .withColumn("before_tokens", before.cast("long"))
+        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "source", "cum_tokens")
+    )
+
+
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common
 # subset of Java-regex / RE2 (the real one's `\s+(?!\S)` can't run in
 # DuckDB): contractions, space-prefixed letter runs, digit runs,
