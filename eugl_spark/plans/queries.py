@@ -2024,6 +2024,78 @@ def split_train_val_test(spark, sf_dir):
     return df.select("doc_id", "source", split.alias("split"))
 
 
+# Decontamination: a training corpus must not contain eval-set text.
+# Eval set here = the 'test' split above; a train doc is contaminated
+# if it shares any word-5-gram with any test doc (the n-gram-overlap
+# decontamination rule used for LLM training corpora). Candidate
+# generation is an equi-join on the 5-gram — never a doc×doc scan.
+_DECON_N = 5
+_DECON_GRAMS_SQL = f"""
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - {_DECON_N - 1}, 0)),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                   toks[i+4])))) AS g
+  FROM (SELECT doc_id, source,
+          regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+        FROM documents WHERE text IS NOT NULL)
+"""
+
+
+@q(
+    "decontaminate_train",
+    f"""
+    WITH grams AS ({_DECON_GRAMS_SQL}),
+    labeled AS (
+      SELECT doc_id, g,
+        CASE WHEN {_SPLIT_HASH_SQL} < 80 THEN 'train'
+             WHEN {_SPLIT_HASH_SQL} < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM grams
+    )
+    SELECT DISTINCT tr.doc_id
+    FROM labeled tr JOIN labeled te ON te.g = tr.g
+    WHERE tr.split = 'train' AND te.split = 'test'
+    """,
+    "Training-data op: n-gram decontamination — train docs sharing any "
+    "word-5-gram with the eval (test) split are flagged for removal; "
+    "5-gram equi-join, no doc×doc comparison",
+)
+def decontaminate_train(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    toks = H.tokens(F.col("text"))
+    df = df.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= _DECON_N  # cheap pre-shuffle filter (see _shingles)
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + k) for k in range(_DECON_N)]
+            ),
+        )
+    )
+    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    labeled = (
+        df.select(
+            "doc_id", split.alias("split"), F.explode(grams).alias("g")
+        )
+        .localCheckpoint()  # consumed by both join sides
+    )
+    tr = labeled.filter(F.col("split") == "train").select("doc_id", "g")
+    te = labeled.filter(F.col("split") == "test").select(
+        F.col("g").alias("g2")
+    ).distinct()
+    return (
+        tr.join(te, tr["g"] == te["g2"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 _TOKEN_BUDGET = 2000
 
 
