@@ -2002,6 +2002,14 @@ _SPLIT_HASH_SQL = (
 )
 
 
+def _split_col():
+    """The Spark twin of _SPLIT_HASH_SQL's CASE — the leakage-safety
+    contract shared by the split and decontamination ops (single
+    definition so the cut points / hash recipe can't desynchronize)."""
+    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+
 @q(
     "split_train_val_test",
     f"""
@@ -2017,11 +2025,7 @@ _SPLIT_HASH_SQL = (
 )
 def split_train_val_test(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
-    split = (
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    )
-    return df.select("doc_id", "source", split.alias("split"))
+    return df.select("doc_id", "source", _split_col().alias("split"))
 
 
 # Decontamination: a training corpus must not contain eval-set text.
@@ -2030,11 +2034,13 @@ def split_train_val_test(spark, sf_dir):
 # decontamination rule used for LLM training corpora). Candidate
 # generation is an equi-join on the 5-gram — never a doc×doc scan.
 _DECON_N = 5
+_DECON_GRAM_WORDS = ", ".join(
+    f"toks[i+{k}]" if k else "toks[i]" for k in range(_DECON_N)
+)
 _DECON_GRAMS_SQL = f"""
   SELECT doc_id, source, unnest(list_distinct(list_transform(
     generate_series(1, greatest(len(toks) - {_DECON_N - 1}, 0)),
-    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-                   toks[i+4])))) AS g
+    i -> concat_ws(' ', {_DECON_GRAM_WORDS})))) AS g
   FROM (SELECT doc_id, source,
           regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
         FROM documents WHERE text IS NOT NULL)
@@ -2077,12 +2083,13 @@ def decontaminate_train(spark, sf_dir):
             ),
         )
     )
-    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
-    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     labeled = (
         df.select(
-            "doc_id", split.alias("split"), F.explode(grams).alias("g")
+            "doc_id", _split_col().alias("split"), F.explode(grams).alias("g")
         )
+        # val-split grams are read by neither join side — don't
+        # explode/shuffle/checkpoint ~10% of the grams for nothing
+        .filter(F.col("split") != "val")
         .localCheckpoint()  # consumed by both join sides
     )
     tr = labeled.filter(F.col("split") == "train").select("doc_id", "g")
@@ -2383,10 +2390,14 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
 
-def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (squared euclidean,
-    ties → smallest centroid id). Broadcast join: the model state is
-    K rows however large the corpus."""
+def _kmeans_assign(
+    emb: DataFrame, centroids: DataFrame, top_n: int = 1
+) -> DataFrame:
+    """The vector→centroid rank join (squared euclidean, ties →
+    smallest centroid id): top_n=1 is cell assignment, top_n>1 is the
+    query-side probe list — ONE definition so the distance/tie-break
+    recipe can't desynchronize between the two uses. Broadcast join:
+    the model state is K rows however large the corpus."""
     dist = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -2401,7 +2412,7 @@ def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         emb.crossJoin(F.broadcast(centroids))
         .withColumn("dist", dist)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= top_n)
         .select("vec_id", "embedding", "cell")
     )
 
@@ -2432,14 +2443,15 @@ _KM_DIST_SQL = (
 )
 
 
-def _km_assign_sql(a: str, c: str) -> str:
+def _km_assign_sql(a: str, c: str, top_n: int = 1, where: str = "") -> str:
     return f"""{a} AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY {_KM_DIST_SQL}, c.cell) AS rn
-        FROM embeddings e CROSS JOIN {c} c)
-      WHERE rn = 1
+        FROM embeddings e CROSS JOIN {c} c
+        {where})
+      WHERE rn <= {top_n}
     )"""
 
 
@@ -2486,22 +2498,20 @@ def _kmeans_sql() -> str:
 
 
 def _kmeans_topk_sql() -> str:
+    probes = _km_assign_sql(
+        "probes",
+        f"c{_KMEANS_ITERS}",
+        top_n=_IVF_NPROBE,
+        where="WHERE e.vec_id < 10",
+    )
     return (
         _kmeans_ctes()
-        + f""", probes AS (
-      SELECT vec_id AS q_id, embedding, cell FROM (
-        SELECT e.vec_id, e.embedding, c.cell,
-          row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY {_KM_DIST_SQL}, c.cell) AS rn
-        FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
-        WHERE e.vec_id < 10)
-      WHERE rn <= {_IVF_NPROBE}
-    ), km_pairs AS (
-      SELECT p.q_id, n.vec_id AS n_id,
+        + f""", {probes}, km_pairs AS (
+      SELECT p.vec_id AS q_id, n.vec_id AS n_id,
         {_dot_sql('p', 'n')}
           / ({_NORM_SQL.format(v='p')} * {_NORM_SQL.format(v='n')}) AS cos
       FROM probes p
-      JOIN a{_KMEANS_ITERS} n ON n.cell = p.cell AND n.vec_id <> p.q_id
+      JOIN a{_KMEANS_ITERS} n ON n.cell = p.cell AND n.vec_id <> p.vec_id
     )
     SELECT q_id, n_id, rank FROM (
       SELECT q_id, n_id,
@@ -2559,25 +2569,12 @@ def ann_kmeans_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = _kmeans_centroids(emb)
     assigned = _kmeans_assign(emb, centroids).localCheckpoint()
-    # query probes: 2 nearest trained centroids (dist asc, ties → min cell)
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cvec"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wq = W.partitionBy("q_id").orderBy("dist", "cell")
-    probes = (
-        emb.filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("dist", dist)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= _IVF_NPROBE)
-        .select("q_id", "qv", "cell")
+    # query probes: the same rank join as assignment, top_n=nprobe —
+    # one distance/tie-break definition for both uses
+    probes = _kmeans_assign(
+        emb.filter(F.col("vec_id") < 10), centroids, top_n=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
     )
     cands = assigned.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "cell"

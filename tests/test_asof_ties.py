@@ -6,7 +6,7 @@ identical timestamps — the case the driver's testdata may never hit.
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 import duckdb
 import pyarrow as pa
@@ -58,7 +58,9 @@ def test_asof_equals_join_semantics_under_ties(spark, tmp_path):
         r["click_id"]: r["last_view_us"]
         for r in q.spark(spark, d).collect()
     }
-    t_us = int(t.timestamp() * 1_000_000)
+    # naive ts is stored/read as UTC wall time (session tz pinned UTC);
+    # naive .timestamp() would use the HOST tz and break off-UTC
+    t_us = int(t.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
     assert by_click[2] == t_us  # same-ts view counts
     assert by_click[4] is None and by_click[5] is None
     assert by_click[6] is None  # no earlier view

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import duckdb
 
-from eugl_spark.plans.queries import _TOKEN_BUDGET, REGISTRY
+from eugl_spark.plans.queries import _TOK_SQL, _TOKEN_BUDGET, REGISTRY
 
 
 def test_split_is_leakage_safe_and_deterministic(spark, sf_dir):
@@ -33,9 +33,9 @@ def test_token_budget_semantics(spark, sf_dir):
     )
     totals = dict(
         con.sql(
-            "SELECT source, CAST(sum(len(regexp_extract_all(lower(text),"
-            " '[a-z]+'))) AS BIGINT) FROM documents"
-            " WHERE text IS NOT NULL GROUP BY source"
+            f"SELECT source, CAST(sum(len(regexp_extract_all(lower(text),"
+            f" '{_TOK_SQL}'))) AS BIGINT) FROM documents"
+            f" WHERE text IS NOT NULL GROUP BY source"
         ).fetchall()
     )
     for source, grp in got.groupby("source"):
