@@ -2786,3 +2786,95 @@ def dedup_clusters_lsh(spark, sf_dir):
         .select("doc_a", "doc_b")
     )
     return _connected_components(verified)
+
+
+# ---------------------------------------------------------------------------
+# THE capstone composition — what a user actually runs to build a
+# training corpus: quality verdict → near-dup keeper selection →
+# eval-set decontamination → leakage-safe train split → per-source
+# token budget, each stage one of the registry operators above, the
+# whole chain checked end-to-end against the composed SQL oracles.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_build_sql() -> str:
+    return f"""
+    WITH kept AS (
+      SELECT doc_id FROM ({REGISTRY["qf_verdict"].sql}) WHERE keep
+    ), dup_drop AS (
+      SELECT doc_id FROM ({REGISTRY["dedup_clusters_lsh"].sql})
+      WHERE NOT keep
+    ), cont AS (
+      SELECT doc_id FROM ({REGISTRY["decontaminate_train"].sql})
+    ), tr AS (
+      SELECT doc_id, source FROM ({REGISTRY["split_train_val_test"].sql})
+      WHERE split = 'train'
+    ), surv AS (
+      SELECT k.doc_id, tr.source
+      FROM kept k JOIN tr ON tr.doc_id = k.doc_id
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+        AND k.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), nt AS (
+      SELECT s2.doc_id, s2.source,
+        len(regexp_extract_all(lower(d.text), '{_TOK_SQL}')) AS ntok
+      FROM surv s2 JOIN documents d ON d.doc_id = s2.doc_id
+    ), b AS (
+      SELECT doc_id, source,
+        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens,
+        CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS before_tokens
+      FROM nt
+    )
+    SELECT doc_id, source, cum_tokens FROM b
+    WHERE before_tokens < {_TOKEN_BUDGET}
+    """
+
+
+@q(
+    "corpus_build_train",
+    _corpus_build_sql(),
+    "END-TO-END corpus build: heuristic quality keep → near-dup "
+    "keepers only → decontaminated → train hosts → token budget — "
+    "the full training-data pipeline as one composed plan",
+)
+def corpus_build_train(spark, sf_dir):
+    # the HEURISTIC verdict (claimed-lang qf chain): the driver's
+    # documents table is generated from its own word lists, so the
+    # trigram/perplexity models (tested separately on their own
+    # fit-for-purpose corpus) classify nearly all of it non-English —
+    # the heuristic gate is the meaningful quality filter here
+    kept = qf_verdict(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    dup_drop = (
+        dedup_clusters_lsh(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    cont = decontaminate_train(spark, sf_dir).select("doc_id")
+    tr = (
+        split_train_val_test(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .select("doc_id", "source")
+    )
+    surv = (
+        kept.join(tr, "doc_id")
+        .join(dup_drop, "doc_id", "left_anti")
+        .join(cont, "doc_id", "left_anti")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(H.tokens(F.col("text"))).cast("long").alias("ntok")
+    )
+    nt = surv.join(docs, "doc_id")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    before = F.coalesce(
+        F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        nt.withColumn("cum_tokens", cum.cast("long"))
+        .withColumn("before_tokens", before.cast("long"))
+        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "source", "cum_tokens")
+    )
