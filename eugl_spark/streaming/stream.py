@@ -103,6 +103,33 @@ def stream_dedup_pages(
     )
 
 
+def sessionized_host_activity(pages_stream: DataFrame) -> DataFrame:
+    """Streaming sessionization: gap-based session windows per host.
+
+    The streaming twin of the batch lag/gap sessionize query —
+    `F.session_window` merges events into a session while gaps stay
+    under 30 minutes; the watermark closes (and emits) sessions once
+    event time moves past them, bounding state. Output: one row per
+    (host, session) with its page count and span.
+    """
+    from eugl_spark.pipeline import host
+
+    return (
+        pages_stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(
+            F.session_window("warc_ts", "30 minutes"),
+            host(F.col("url")).alias("host"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            "host",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_pages",
+        )
+    )
+
+
 def windowed_verdict_counts(labeled_stream: DataFrame) -> DataFrame:
     """Watermarked hourly drop-reason distribution (late data ≤ 2h)."""
     return (

@@ -153,6 +153,51 @@ def test_stream_dedup_damaged_records_do_not_poison_watermark(
     }
 
 
+def test_sessionized_host_activity(spark, drop_dir):
+    """Gap-based session windows: events <30min apart merge into one
+    session; a >30min gap starts a new one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from eugl_spark.streaming.stream import sessionized_host_activity
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("https://a.example/1", t0),
+        ("https://a.example/2", t0 + timedelta(minutes=10)),  # same session
+        ("https://a.example/3", t0 + timedelta(minutes=70)),  # new session
+        ("https://b.example/1", t0 + timedelta(minutes=5)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "html": pa.array([None] * len(rows), pa.binary()),
+                "text": pa.array(["t"] * len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(drop_dir, "d0.parquet"),
+    )
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
+    q = (
+        sessionized_host_activity(src)
+        .writeStream.format("memory")
+        .queryName("sha")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["host"], r["n_pages"])
+        for r in spark.sql("SELECT * FROM sha").collect()
+    }
+    assert got == {("a.example", 2), ("a.example", 1), ("b.example", 1)}
+
+
 def test_windowed_verdict_counts(spark, drop_dir, tmp_path):
     _drop(drop_dir, "part-000.parquet", 400, seed=3)
     src = spark.readStream.schema(PAGES_SCHEMA).parquet(drop_dir)
