@@ -81,6 +81,24 @@ def done_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+def lineage_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Operational summary per (run_id, status): bucket counts, row
+    totals, and the latest completion time — the queryable form of the
+    reference's always-written runtime-args/metrics record
+    (/root/reference/eugl/gqa/tasks.py:218-233)."""
+    return (
+        read_lineage(spark, out_dir)
+        .groupBy("run_id", "status")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_input").alias("n_input"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dropped").alias("n_dropped"),
+            F.max("finished_at").alias("last_finished_at"),
+        )
+    )
+
+
 def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None:
     spark.createDataFrame(
         [tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields) for r in rows],

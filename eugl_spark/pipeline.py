@@ -101,8 +101,21 @@ def apply_pipeline(
 
     k = F.col("_k")
     te = k.getField("text_extracted")
+    # host policy actions: 'deny' drops the host outright;
+    # 'sample:NN' keeps a deterministic NN% of the host's urls
+    # (crawl rebalancing — a hot host can be down-weighted without a
+    # separate job; hash-of-url, so the same url always gets the same
+    # fate across runs/resumes). Unknown actions fail OPEN.
+    sample_rate = F.when(
+        F.col("_host_action").startswith("sample:"),
+        F.split(F.col("_host_action"), ":").getItem(1).cast("int"),
+    )
+    sampled_out = sample_rate.isNotNull() & (
+        F.pmod(F.xxhash64(F.col("url")), F.lit(100)) >= sample_rate
+    )
     drop_reason = (
         F.when(F.col("_host_action") == "deny", "host_deny")
+        .when(sampled_out, "host_sampled")
         .when(te.isNull() | (te == ""), "no_content")
         .when(k.getField("n_chars") < C.MIN_CHARS, "too_short")
         .when(k.getField("n_chars") > C.MAX_CHARS, "too_long")

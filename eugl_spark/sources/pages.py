@@ -126,6 +126,24 @@ def compact_bucket(
     return (len(files), n_after)
 
 
+def compact_all(
+    spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict[int, tuple[int, int]]:
+    """Finalize pass: compact every bucket partition (the run-end
+    analog of the reference's per-granule finalize step). Returns
+    {bucket: (files_before, files_after)} for buckets that changed."""
+    root = os.path.join(out_dir, "pages_out")
+    results: dict[int, tuple[int, int]] = {}
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        before, after = compact_bucket(spark, out_dir, bucket, target_bytes)
+        if after < before:
+            results[bucket] = (before, after)
+    return results
+
+
 def write_pages(df: DataFrame, target: str) -> None:
     """Partitioned write: Iceberg overwrite-partitions when the target
     is a table, dynamic-overwrite parquet otherwise (same semantics the

@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--buckets-per-batch", type=int, default=0)
     ap.add_argument("--demo", action="store_true",
                     help="synthesize a small corpus and run end-to-end")
+    ap.add_argument("--compact", action="store_true",
+                    help="finalize: compact every bucket's small files")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +74,11 @@ def main() -> int:
         buckets_per_batch=args.buckets_per_batch,
     )
     print(f"run {args.run_id}: {res}")
+    if args.compact:
+        from eugl_spark.sources.pages import compact_all
+
+        compacted = compact_all(spark, args.output)
+        print(f"compacted {len(compacted)} buckets: {compacted}")
     lin = read_lineage(spark, args.output)
     lin.groupBy("status").count().show()
     spark.stop()

@@ -89,3 +89,22 @@ def test_compact_noop_when_already_compact(spark, tmp_path):
     )
     n_before, n_after = compact_bucket(spark, out, 0)
     assert n_before == n_after == 1
+
+
+def test_compact_all_buckets(spark, tmp_path):
+    from eugl_spark.sources.pages import compact_all
+
+    out = str(tmp_path / "outall")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    (
+        df.repartition(5)
+        .write.partitionBy("bucket")
+        .parquet(os.path.join(out, "pages_out"))
+    )
+    results = compact_all(spark, out, target_bytes=1 << 30)
+    assert set(results) == {0, 1, 2}
+    assert all(after == 1 and before > 1 for before, after in results.values())
+    back = spark.read.parquet(os.path.join(out, "pages_out"))
+    assert back.count() == 4000

@@ -51,3 +51,47 @@ def test_host_deny_overrides(spark, pages_path):
     # broadcast hint survives to the physical plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_host_sample_action(spark, pages_path):
+    """'sample:NN' keeps a deterministic NN% of a host's urls; the
+    rest drop with reason host_sampled. Hash-of-url → replayable."""
+    pages = spark.read.parquet(pages_path).drop("_case")
+    hot = (
+        pages.select(F.try_parse_url("url", F.lit("HOST")).alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    )
+    rules = spark.createDataFrame([(hot, "sample:50")], ["host", "action"])
+    out = apply_pipeline(pages, host_rules=rules, repartition_to=0)
+    host_rows = out.filter(F.try_parse_url("url", F.lit("HOST")) == hot)
+    n = host_rows.count()
+    n_sampled = host_rows.filter(F.col("drop_reason") == "host_sampled").count()
+    assert 0 < n_sampled < n  # roughly half, deterministic hash split
+    assert abs(n_sampled / n - 0.5) < 0.25
+    # other hosts never get the reason
+    assert (
+        out.filter(F.try_parse_url("url", F.lit("HOST")) != hot)
+        .filter(F.col("drop_reason") == "host_sampled")
+        .count()
+        == 0
+    )
+    # deterministic: same urls sampled out on a rerun
+    again = apply_pipeline(pages, host_rules=rules, repartition_to=0)
+    s1 = {r["url"] for r in out.filter(F.col("drop_reason") == "host_sampled").collect()}
+    s2 = {r["url"] for r in again.filter(F.col("drop_reason") == "host_sampled").collect()}
+    assert s1 == s2
+
+    # sample:100 keeps everything; sample:0 drops the whole host
+    keep_all = apply_pipeline(
+        pages,
+        host_rules=spark.createDataFrame([(hot, "sample:100")], ["host", "action"]),
+        repartition_to=0,
+    )
+    assert keep_all.filter(F.col("drop_reason") == "host_sampled").count() == 0
+    drop_all = apply_pipeline(
+        pages,
+        host_rules=spark.createDataFrame([(hot, "sample:0")], ["host", "action"]),
+        repartition_to=0,
+    )
+    dropped = drop_all.filter(F.try_parse_url("url", F.lit("HOST")) == hot)
+    assert dropped.filter(F.col("drop_reason") == "host_sampled").count() == dropped.count()

@@ -107,3 +107,17 @@ def test_finished_at_is_stamped(spark, pages, tmp_path):
     run_with_resume(spark, pages, out, run_id="r1")
     lin = read_lineage(spark, out).toPandas()
     assert lin.finished_at.notna().all()
+
+
+def test_lineage_report(spark, pages, tmp_path):
+    from eugl_spark.lineage import lineage_report
+
+    out = str(tmp_path / "rep")
+    run_with_resume(spark, pages, out, run_id="r1")
+    rep = lineage_report(spark, out).collect()
+    ok = [r for r in rep if r["status"] == "ok"]
+    assert len(ok) == 1 and ok[0]["run_id"] == "r1"
+    assert ok[0]["n_buckets"] == C.N_BUCKETS
+    assert ok[0]["n_input"] == pages.count()
+    assert ok[0]["n_kept"] + ok[0]["n_dropped"] == ok[0]["n_input"]
+    assert ok[0]["last_finished_at"] is not None
