@@ -90,7 +90,9 @@ def lineage_report(spark: SparkSession, out_dir: str) -> DataFrame:
         read_lineage(spark, out_dir)
         .groupBy("run_id", "status")
         .agg(
-            F.count("*").alias("n_buckets"),
+            # distinct: lineage is append-only and a failing bucket
+            # re-appends a row per retry attempt
+            F.countDistinct("bucket").alias("n_buckets"),
             F.sum("n_input").alias("n_input"),
             F.sum("n_kept").alias("n_kept"),
             F.sum("n_dropped").alias("n_dropped"),

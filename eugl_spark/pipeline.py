@@ -108,7 +108,10 @@ def apply_pipeline(
     # fate across runs/resumes). Unknown actions fail OPEN.
     sample_rate = F.when(
         F.col("_host_action").startswith("sample:"),
-        F.split(F.col("_host_action"), ":").getItem(1).cast("int"),
+        # try_cast: under ANSI a malformed rate ('sample:', 'sample:x')
+        # would otherwise CAST_INVALID_INPUT-fail the whole job —
+        # null rate takes the documented fail-open path instead
+        F.split(F.col("_host_action"), ":").getItem(1).try_cast("int"),
     )
     sampled_out = sample_rate.isNotNull() & (
         F.pmod(F.xxhash64(F.col("url")), F.lit(100)) >= sample_rate

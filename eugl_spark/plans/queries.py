@@ -2106,21 +2106,47 @@ def decontaminate_train(spark, sf_dir):
 _TOKEN_BUDGET = 2000
 
 
+def _budget_filter(nt: DataFrame) -> DataFrame:
+    """(doc_id, source, ntok) → the per-source token-budget survivors
+    with running totals. ONE definition of the boundary rule (a doc is
+    kept iff the budget wasn't spent BEFORE it), shared by the
+    standalone op and the corpus-build capstone."""
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    before = F.coalesce(
+        F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        nt.withColumn("cum_tokens", cum.cast("long"))
+        .withColumn("before_tokens", before.cast("long"))
+        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "source", "cum_tokens")
+    )
+
+
+def _budget_sql(src: str) -> str:
+    """SQL twin of _budget_filter over a (doc_id, source, ntok) rel."""
+    return f"""SELECT doc_id, source, cum_tokens FROM (
+      SELECT doc_id, source,
+        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens,
+        CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS before_tokens
+      FROM {src})
+    WHERE before_tokens < {_TOKEN_BUDGET}"""
+
+
 @q(
     "corpus_token_budget",
     f"""
-    SELECT doc_id, source, cum_tokens FROM (
+    WITH ntb AS (
       SELECT doc_id, source,
-        CAST(sum(len(regexp_extract_all(lower(text), '{_TOK_SQL}')))
-          OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS BIGINT) AS cum_tokens,
-        CAST(coalesce(sum(len(regexp_extract_all(lower(text), '{_TOK_SQL}')))
-          OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS BIGINT) AS before_tokens
-      FROM documents WHERE text IS NOT NULL)
-    WHERE before_tokens < {_TOKEN_BUDGET}
+        len(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    )
+    {_budget_sql("ntb")}
     """,
     "Training-data op: per-source token budgeting — keep documents "
     "(in doc_id order) until the source's cumulative token budget is "
@@ -2128,19 +2154,12 @@ _TOKEN_BUDGET = 2000
 )
 def corpus_token_budget(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    nt = F.size(H.tokens(F.col("text"))).cast("long")
-    w = W.partitionBy("source").orderBy("doc_id")
-    cum = F.sum(nt).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    before = F.coalesce(
-        F.sum(nt).over(w.rowsBetween(W.unboundedPreceding, -1)),
-        F.lit(0),
+    nt = df.select(
+        "doc_id",
+        "source",
+        F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
     )
-    return (
-        df.withColumn("cum_tokens", cum.cast("long"))
-        .withColumn("before_tokens", before.cast("long"))
-        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
-        .select("doc_id", "source", "cum_tokens")
-    )
+    return _budget_filter(nt)
 
 
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common
@@ -2818,18 +2837,8 @@ def _corpus_build_sql() -> str:
       SELECT s2.doc_id, s2.source,
         len(regexp_extract_all(lower(d.text), '{_TOK_SQL}')) AS ntok
       FROM surv s2 JOIN documents d ON d.doc_id = s2.doc_id
-    ), b AS (
-      SELECT doc_id, source,
-        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS cum_tokens,
-        CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          AS before_tokens
-      FROM nt
     )
-    SELECT doc_id, source, cum_tokens FROM b
-    WHERE before_tokens < {_TOKEN_BUDGET}
+    {_budget_sql("nt")}
     """
 
 
@@ -2863,18 +2872,13 @@ def corpus_build_train(spark, sf_dir):
         .join(dup_drop, "doc_id", "left_anti")
         .join(cont, "doc_id", "left_anti")
     )
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(H.tokens(F.col("text"))).cast("long").alias("ntok")
+    # join FIRST, tokenize after: projecting ntok below the join would
+    # run the tokenizer over the whole corpus; survivors are typically
+    # a small fraction (Catalyst prunes columns, not rows)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nt = surv.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
     )
-    nt = surv.join(docs, "doc_id")
-    w = W.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    before = F.coalesce(
-        F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-    )
-    return (
-        nt.withColumn("cum_tokens", cum.cast("long"))
-        .withColumn("before_tokens", before.cast("long"))
-        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
-        .select("doc_id", "source", "cum_tokens")
-    )
+    return _budget_filter(nt)

@@ -134,6 +134,11 @@ def compact_all(
     {bucket: (files_before, files_after)} for buckets that changed."""
     root = os.path.join(out_dir, "pages_out")
     results: dict[int, tuple[int, int]] = {}
+    if not os.path.isdir(root):
+        # a run whose every batch failed never created the output dir;
+        # finalize is then a no-op, not a traceback that hides the
+        # lineage table explaining the failure
+        return results
     for name in sorted(os.listdir(root)):
         if not name.startswith("bucket="):
             continue

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from eugl_spark.pipeline import apply_pipeline
+from eugl_spark.pipeline import apply_pipeline, host
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -111,11 +111,15 @@ def sessionized_host_activity(pages_stream: DataFrame) -> DataFrame:
     under 30 minutes; the watermark closes (and emits) sessions once
     event time moves past them, bounding state. Output: one row per
     (host, session) with its page count and span.
-    """
-    from eugl_spark.pipeline import host
 
+    Damaged records (null warc_ts — see stream_dedup_pages) are
+    EXCLUDED explicitly: with no event time there is no session by
+    definition; count them upstream (observe/filter) if the damage
+    rate itself is the signal of interest.
+    """
     return (
-        pages_stream.withWatermark("warc_ts", "1 hour")
+        pages_stream.filter(F.col("warc_ts").isNotNull())
+        .withWatermark("warc_ts", "1 hour")
         .groupBy(
             F.session_window("warc_ts", "30 minutes"),
             host(F.col("url")).alias("host"),

@@ -95,3 +95,23 @@ def test_host_sample_action(spark, pages_path):
     )
     dropped = drop_all.filter(F.try_parse_url("url", F.lit("HOST")) == hot)
     assert dropped.filter(F.col("drop_reason") == "host_sampled").count() == dropped.count()
+
+
+def test_malformed_sample_action_fails_open(spark, pages_path):
+    """'sample:' / 'sample:abc' must NOT abort the job under ANSI
+    (try_cast → null rate → documented fail-open), and verdicts equal
+    the no-rules run."""
+    pages = spark.read.parquet(pages_path).drop("_case")
+    hot = (
+        pages.select(F.try_parse_url("url", F.lit("HOST")).alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    )
+    rules = spark.createDataFrame(
+        [(hot, "sample:"), ("other.example", "sample:abc")],
+        ["host", "action"],
+    )
+    out = apply_pipeline(pages, host_rules=rules, repartition_to=0)
+    base = apply_pipeline(pages, repartition_to=0)
+    a = {r["url"]: r["drop_reason"] for r in base.select("url", "drop_reason").collect()}
+    b = {r["url"]: r["drop_reason"] for r in out.select("url", "drop_reason").collect()}
+    assert a == b  # no crash, no behavior change
