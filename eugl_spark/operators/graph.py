@@ -1,0 +1,166 @@
+"""Distributed connected components over candidate-pair graphs.
+
+Two interchangeable implementations with the same contract —
+pairs(doc_a, doc_b) → (doc_id, cluster, keep) where cluster is the
+component's minimum doc_id and keep marks the keeper — because the
+right algorithm depends on graph shape:
+
+* ``connected_components_minlabel`` — min-label propagation.
+  O(diameter) supersteps; ideal for near-dup families (small, dense,
+  diameter ≤ a few hops). Used by the dedup registry queries.
+* ``connected_components_star`` — the alternating large-star /
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond"): O(log n) rounds on ANY shape, including the
+  long chains that would starve label propagation. The scale fallback
+  the min-label docstring promises.
+
+Both localCheckpoint each superstep (iterative lineage otherwise grows
+exponentially; at 10^12-doc scale this is a persisted table per
+round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cc_output(labels: DataFrame) -> DataFrame:
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation (see module docstring for when to use).
+
+    Each round every node adopts the smallest label among itself and
+    its neighbors; two supersteps run per materialization (labels only
+    decrease, so a fixpoint of the double step IS a fixpoint of the
+    single step). Labels are monotonically non-increasing, so an
+    unchanged label-sum is the fixpoint test — one scalar agg per
+    round, no full-frame diff.
+    """
+    pairs = pairs.localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        for _ in range(2):
+            msgs = edges.join(
+                labels, edges["src"] == labels["doc_id"]
+            ).select(F.col("dst").alias("doc_id"), "label")
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+        labels = labels.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return _cc_output(labels)
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """(big, small) canonical edges → large-star round: every node's
+    strictly-LARGER neighbors re-link to its minimum neighbor."""
+    sym = canon.union(canon.select(F.col("v"), F.col("u"))).toDF("u", "v")
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .withColumn("m", F.least(F.col("mv"), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.greatest(F.col("v"), F.col("m")).alias("u"),
+            F.least(F.col("v"), F.col("m")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Canonical edges → small-star round: every node's SMALLER
+    neighbors (and the node itself) re-link to its minimum neighbor."""
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    j = canon.join(mins, "u")
+    relink = j.select(F.col("v").alias("a"), F.col("m").alias("b"))
+    self_link = j.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (
+        relink.union(self_link)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star (see module docstring).
+
+    Convergence test: the canonical edge multiset's (count, Σu, Σv)
+    signature is stable across a full round AND one confirming round
+    (signature collisions are astronomically unlikely and the
+    confirming round makes a coincidence harmless — a converged edge
+    set is a fixpoint of both stars, so an extra round is free).
+    """
+    canon = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        canon.select(F.col("u").alias("doc_id"))
+        .union(canon.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sig(e: DataFrame):
+        r = e.agg(
+            F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        return (r["n"], r["su"], r["sv"])
+
+    prev, stable = sig(canon), 0
+    for _ in range(max_rounds):
+        canon = _small_star(_large_star(canon)).localCheckpoint()
+        cur = sig(canon)
+        if cur == prev:
+            stable += 1
+            if stable >= 2:
+                break
+        else:
+            stable = 0
+        prev = cur
+    # converged: a star per component — each non-root points straight
+    # at its component min; roots label themselves
+    parent = canon.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("doc_id"), "label"
+    )
+    labels = (
+        nodes.join(parent, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("label")
+        )
+    )
+    return _cc_output(labels)

@@ -2650,57 +2650,12 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over a candidate-pair graph.
-
-    Each round every node adopts the smallest label among itself and
-    its neighbors; converges in O(graph diameter) rounds — near-dup
-    families are small and dense (diameter ≤ a few hops), so this
-    terminates in 2-4 supersteps. Labels are monotonically
-    non-increasing, so an unchanged label-sum IS the fixpoint test (one
-    scalar agg per round, no full-frame diff). Each round's frame is
-    localCheckpoint'd: iterative lineage otherwise grows exponentially.
-    At 10^12-doc scale the same loop runs with a persisted table per
-    superstep (or large-star/small-star for long-chain graphs).
-
-    pairs(doc_a, doc_b) → (doc_id, cluster, keep): cluster = min
-    reachable doc_id, keep ⇔ the doc IS its cluster's keeper.
-    """
-    pairs = pairs.localCheckpoint()
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst")
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    while True:
-        # two supersteps per materialization: labels only ever
-        # decrease, so a fixpoint of the double-step IS a fixpoint of
-        # the single step — same result, half the job boundaries
-        # (each checkpoint+agg is a fixed driver-side cost)
-        for _ in range(2):
-            msgs = edges.join(
-                labels, edges["src"] == labels["doc_id"]
-            ).select(F.col("dst").alias("doc_id"), "label")
-            labels = (
-                labels.unionByName(msgs)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
-            )
-        labels = labels.localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster"),
-        (F.col("doc_id") == F.col("label")).alias("keep"),
-    )
+# min-label propagation suits near-dup families (small diameter); the
+# long-chain-safe O(log n) alternative lives beside it in
+# operators/graph.py (connected_components_star), equivalence-tested
+from eugl_spark.operators.graph import (  # noqa: E402
+    connected_components_minlabel as _connected_components,
+)
 
 
 # The scale-path variant: the exact-jaccard pair producer above joins
