@@ -1,0 +1,64 @@
+"""URL canonicalization: the crawl-side dedup key (S3 extension)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eugl_spark.functions.urls import canonical_url, dedup_by_canonical_url
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM/Path/Page", "https://example.com/Path/Page"),
+    ("https://example.com/a/#section-2", "https://example.com/a"),
+    (
+        "https://example.com/a?utm_source=x&utm_medium=y&id=7",
+        "https://example.com/a?id=7",
+    ),
+    ("https://example.com/a?gclid=abc123", "https://example.com/a"),
+    ("https://example.com/a?id=7&fbclid=zz&q=1", "https://example.com/a?id=7&q=1"),
+    ("https://example.com/a/b///", "https://example.com/a/b"),
+    ("https://example.com/", "https://example.com/"),  # root slash kept
+    ("https://example.com/a?", "https://example.com/a"),
+    # path/query case is significant — only scheme+host folds
+    ("http://EXAMPLE.com/CaseSensitive?Q=V", "http://example.com/CaseSensitive?Q=V"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_url_cases(spark, raw, want):
+    got = (
+        spark.createDataFrame([(raw,)], ["url"])
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == want, (raw, got, want)
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"))
+    assert [r["c"] for r in once.collect()] == [
+        r["c2"] for r in twice.collect()
+    ]
+
+
+def test_dedup_by_canonical_url(spark):
+    urls = [
+        "https://www.site.example/p/1?utm_source=mail",
+        "https://site.example/p/1",
+        "HTTPS://SITE.example/p/1#frag",
+        "https://site.example/p/2",
+    ]
+    out = dedup_by_canonical_url(
+        spark.createDataFrame([(u,) for u in urls], ["url"])
+    ).collect()
+    by_canon = {r["canonical_url"]: r for r in out}
+    assert by_canon["https://site.example/p/1"]["n_variants"] == 3
+    assert by_canon["https://site.example/p/2"]["n_variants"] == 1
+    # keeper is deterministic (lexicographic min of raw variants)
+    assert (
+        by_canon["https://site.example/p/1"]["keeper_url"]
+        == "HTTPS://SITE.example/p/1#frag"
+    )
