@@ -13,9 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tracking params dropped from query strings (matched as whole k=v
-# pairs): the industry-standard utm_* family plus common click ids
-_TRACKING_RE = r"(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+# tracking params dropped from query strings, anchored to a param
+# boundary (? or &) so only whole k=v pairs match: the industry-standard
+# utm_* family plus common click ids. Bare "ref" is deliberately NOT in
+# the list — it is a meaningful param on many sites (GitHub ?ref=branch)
+# and unanchored it also ate path segments like Amazon's /ref=... .
+_TRACKING_RE = r"([?&])(?:utm_[a-z]+|gclid|fbclid|msclkid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
@@ -32,7 +35,7 @@ def canonical_url(url: Column) -> Column:
 
     u = F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")  # strip www.
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, _TRACKING_RE, "")  # tracking k=v
+    u = F.regexp_replace(u, _TRACKING_RE, r"$1")  # tracking k=v, keep ?/&
     u = F.regexp_replace(u, r"\?&+", "?")  # ?&& → ?
     u = F.regexp_replace(u, r"&&+", "&")  # a&&b → a&b
     u = F.regexp_replace(u, r"[?&]+$", "")  # dangling ? / &

@@ -108,7 +108,9 @@ def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None
     ).coalesce(1).write.mode("append").parquet(_lineage_path(out_dir))
 
 
-def _bucket_stats(spark: SparkSession, out_dir: str, buckets: list[int]) -> DataFrame:
+def _bucket_stats(
+    spark: SparkSession, out_dir: str, buckets: list[int], run_id: str
+) -> DataFrame:
     """Per-bucket counters derived from the just-WRITTEN output.
 
     Reading back `pages_out/bucket=...` (partition-pruned, scalar
@@ -118,10 +120,16 @@ def _bucket_stats(spark: SparkSession, out_dir: str, buckets: list[int]) -> Data
     counter query. One groupBy yields input/kept and the per-reason
     histogram together. Returns the lazy frame so tests can assert the
     plan contains the output scan and NO kernel stage.
+
+    The run_id filter makes counters exact per run when an out_dir is
+    reused: dynamic partition overwrite only replaces buckets PRESENT
+    in the new run's data, so a bucket absent from run 2 still holds
+    run 1's rows — without the filter those stale rows would inflate
+    run 2's n_input/n_kept.
     """
     return (
         spark.read.parquet(_out_path(out_dir))
-        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("bucket").isin(buckets) & (F.col("run_id") == run_id))
         .select("bucket", "drop_reason", "keep")
         .groupBy("bucket", F.coalesce("drop_reason", F.lit("KEEP")).alias("reason"))
         .agg(
@@ -160,7 +168,10 @@ def run_with_resume(
     from pyspark.sql import Observation
 
     obs = Observation(f"qa_counters_{run_id}")
-    labeled = apply_pipeline(pages).observe(
+    # run_id rides the output (a constant dictionary-encoded column):
+    # it is the provenance key that makes counter read-back and
+    # debugging exact per run when an out_dir is reused
+    labeled = apply_pipeline(pages).withColumn("run_id", F.lit(run_id)).observe(
         obs,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -191,7 +202,7 @@ def run_with_resume(
             # above); counters come from the written parquet, never
             # from re-running the plan
             per_bucket: dict[int, dict] = {}
-            for r in _bucket_stats(spark, out_dir, batch).collect():
+            for r in _bucket_stats(spark, out_dir, batch, run_id).collect():
                 s = per_bucket.setdefault(
                     int(r["bucket"]), {"n_input": 0, "n_kept": 0, "reasons": {}}
                 )

@@ -715,8 +715,14 @@ def events_asof_last_view(spark, sf_dir):
         "user_id",
         "ts",
         (F.col("event_type") == "click").alias("is_click"),
+        # user_id IS NOT NULL guard: the join definition (v.user_id =
+        # c.user_id) never matches NULLs, but partitionBy groups all
+        # NULL user_ids into ONE partition — without the guard a
+        # null-user view would feed a null-user click's last_view_us.
+        # Nulling view_us for null users makes their running max NULL,
+        # matching the oracle exactly.
         F.when(
-            F.col("event_type") == "view",
+            (F.col("event_type") == "view") & F.col("user_id").isNotNull(),
             F.unix_micros(F.col("ts").cast("timestamp")),
         ).alias("view_us"),
     )

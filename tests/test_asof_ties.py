@@ -35,6 +35,10 @@ def test_asof_equals_join_semantics_under_ties(spark, tmp_path):
         (9, 4, "view", t),
         (10, 4, "click", t),
         (11, 4, "click", datetime(2024, 1, 1, 12, 0, 1)),
+        # NULL user: the join (v.user_id = c.user_id) never matches
+        # NULLs — a null-user view must NOT feed a null-user click
+        (12, None, "view", datetime(2024, 1, 1, 11, 0, 0)),
+        (13, None, "click", t),
     ]
     pq.write_table(
         pa.table(
@@ -65,3 +69,4 @@ def test_asof_equals_join_semantics_under_ties(spark, tmp_path):
     assert by_click[4] is None and by_click[5] is None
     assert by_click[6] is None  # no earlier view
     assert by_click[10] == t_us and by_click[11] == t_us
+    assert by_click[13] is None  # null-user view never matches

@@ -82,7 +82,7 @@ def test_counters_come_from_written_output_not_pipeline_rerun(
 
     out = str(tmp_path / "stats")
     run_with_resume(spark, pages, out, run_id="r1")
-    stats = _bucket_stats(spark, out, list(range(C.N_BUCKETS)))
+    stats = _bucket_stats(spark, out, list(range(C.N_BUCKETS)), "r1")
     assert all("pages_out" in f for f in stats.inputFiles())
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEval" not in plan and "EvalPython" not in plan
@@ -100,6 +100,24 @@ def test_counters_come_from_written_output_not_pipeline_rerun(
         outdf.drop_reason.fillna("KEEP").value_counts().to_dict()
     )
     assert reasons_lin == reasons_out
+
+
+def test_reused_out_dir_counters_are_exact_per_run(spark, pages, tmp_path):
+    """Dynamic overwrite only replaces buckets PRESENT in the new run's
+    data: a bucket absent from run 2 keeps run 1's parquet rows. The
+    run_id column + read-back filter must keep run 2's counters exact
+    (round-3 ADVICE: stale-row inflation on out_dir reuse)."""
+    out = str(tmp_path / "reuse")
+    run_with_resume(spark, pages, out, run_id="r1")
+
+    subset = pages.limit(5)  # few rows → most buckets absent in run 2
+    n_subset = subset.count()
+    run_with_resume(spark, subset, out, run_id="r2")
+
+    lin = read_lineage(spark, out).toPandas()
+    r2 = lin[lin.run_id == "r2"]
+    assert int(r2.n_input.sum()) == n_subset  # not inflated by r1 rows
+    assert int(lin[lin.run_id == "r1"].n_input.sum()) == pages.count()
 
 
 def test_finished_at_is_stamped(spark, pages, tmp_path):

@@ -22,6 +22,22 @@ CASES = [
     ("https://example.com/a?", "https://example.com/a"),
     # path/query case is significant — only scheme+host folds
     ("http://EXAMPLE.com/CaseSensitive?Q=V", "http://example.com/CaseSensitive?Q=V"),
+    # --- param-boundary anchoring (round-3 ADVICE regression cases) ---
+    # href= is NOT utm/ref: must survive untouched
+    ("https://example.com/a?href=x", "https://example.com/a?href=x"),
+    # xutm_source is a different param, not utm_source: survives
+    ("https://example.com/a?xutm_source=1&id=2", "https://example.com/a?xutm_source=1&id=2"),
+    # Amazon-style /ref=... PATH segment: never query-param stripped
+    ("https://example.com/dp/B0/ref=sr_1_1", "https://example.com/dp/B0/ref=sr_1_1"),
+    # bare ref is a meaningful param (GitHub branches): kept
+    ("https://github.example/o/r/blob/f?ref=main", "https://github.example/o/r/blob/f?ref=main"),
+    # consecutive tracking params collapse cleanly
+    (
+        "https://example.com/a?a=1&utm_x=1&utm_y=2&b=2",
+        "https://example.com/a?a=1&b=2",
+    ),
+    # tracking param mid-query followed by a real one
+    ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
 ]
 
 
