@@ -14,15 +14,18 @@ right algorithm depends on graph shape:
   long chains that would starve label propagation. The scale fallback
   the min-label docstring promises.
 
-Both localCheckpoint each superstep (iterative lineage otherwise grows
-exponentially; at 10^12-doc scale this is a persisted table per
-round).
+Both checkpoint each superstep via ``checkpoint_df`` (iterative
+lineage otherwise grows exponentially): a reliable persisted table per
+round when a checkpoint dir is configured (the 10^12-doc cluster
+path), executor-local blocks otherwise.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eugl_spark.operators.checkpoint import checkpoint_df
 
 
 def _cc_output(labels: DataFrame) -> DataFrame:
@@ -43,7 +46,7 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
     unchanged label-sum is the fixpoint test — one scalar agg per
     round, no full-frame diff.
     """
-    pairs = pairs.localCheckpoint()
+    pairs = checkpoint_df(pairs)
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("src", "dst")
@@ -51,8 +54,8 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
+    labels = checkpoint_df(labels)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
         for _ in range(2):
@@ -64,7 +67,7 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
                 .groupBy("doc_id")
                 .agg(F.min("label").alias("label"))
             )
-        labels = labels.localCheckpoint()
+        labels = checkpoint_df(labels)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -126,14 +129,14 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    canon = checkpoint_df(canon)
     nodes = (
         canon.select(F.col("u").alias("doc_id"))
         .union(canon.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = checkpoint_df(nodes)
 
     def sig(e: DataFrame):
         r = e.agg(
@@ -143,7 +146,7 @@ def connected_components_star(
 
     prev, stable = sig(canon), 0
     for _ in range(max_rounds):
-        canon = _small_star(_large_star(canon)).localCheckpoint()
+        canon = checkpoint_df(_small_star(_large_star(canon)))
         cur = sig(canon)
         if cur == prev:
             stable += 1

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from eugl_spark import constants as C
 from eugl_spark.functions import heuristics as H
 from eugl_spark.functions import scrub as S
+from eugl_spark.operators.checkpoint import checkpoint_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -385,10 +386,10 @@ _JACCARD_SQL = (
 def dedup_ngram_jaccard(spark, sf_dir):
     # materialize the shingle table ONCE: the self-join consumes it
     # twice and the size side once — without the checkpoint each
-    # consumer re-runs scan+tokenize+shingle (at 10^12-doc scale this
-    # intermediate is written to a table; localCheckpoint is the local
-    # analog)
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+    # consumer re-runs scan+tokenize+shingle (checkpoint_df writes a
+    # persisted table when a checkpoint dir is configured — the
+    # 10^12-doc path — and executor-local blocks otherwise)
+    sh = checkpoint_df(_shingles(spark, sf_dir))
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
     common = (
@@ -475,7 +476,7 @@ def dedup_minhash_bands(spark, sf_dir):
                 F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3"),
             )
         ).alias("band"),
-    ).localCheckpoint()  # self-join: avoid recomputing sig per side
+    ).transform(checkpoint_df)  # self-join: avoid recomputing sig per side
     return (
         bands.alias("a")
         .join(
@@ -2096,7 +2097,7 @@ def decontaminate_train(spark, sf_dir):
         # val-split grams are read by neither join side — don't
         # explode/shuffle/checkpoint ~10% of the grams for nothing
         .filter(F.col("split") != "val")
-        .localCheckpoint()  # consumed by both join sides
+        .transform(checkpoint_df)  # consumed by both join sides
     )
     tr = labeled.filter(F.col("split") == "train").select("doc_id", "g")
     te = labeled.filter(F.col("split") == "test").select(
@@ -2278,7 +2279,7 @@ def ann_lsh_pairs(spark, sf_dir):
                 F.concat(F.lit("1_"), F.shiftright("bucket", 4)),
             )
         ).alias("band"),
-    ).localCheckpoint()  # self-join: don't run the kernel per side
+    ).transform(checkpoint_df)  # self-join: don't run the kernel per side
     cand = (
         cand_bands.alias("x")
         .join(
@@ -2349,7 +2350,7 @@ def ann_ivf_topk(spark, sf_dir):
     # production scale, keyed — and for skewed cells, salted — by cell)
     assigned = emb.withColumn(
         "cell", ivf_cell_udf("embedding")
-    ).localCheckpoint()
+    ).transform(checkpoint_df)
     # query side: probe the nprobe nearest centroids (dot desc, ties →
     # smaller id, matching the assignment's argmax tie-break)
     qs = assigned.filter(F.col("vec_id") < 10).select(
@@ -2573,11 +2574,11 @@ def _kmeans_centroids(emb: DataFrame) -> DataFrame:
                 F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
             ).alias("cvec"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     for _ in range(_KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
-        centroids = _kmeans_update(assigned).localCheckpoint()
+        centroids = checkpoint_df(_kmeans_update(assigned))
     return centroids
 
 
@@ -2593,7 +2594,7 @@ def ann_kmeans_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = _kmeans_centroids(emb)
-    assigned = _kmeans_assign(emb, centroids).localCheckpoint()
+    assigned = checkpoint_df(_kmeans_assign(emb, centroids))
     # query probes: the same rank join as assignment, top_n=nprobe —
     # one distance/tie-break definition for both uses
     probes = _kmeans_assign(
@@ -2719,7 +2720,7 @@ _MHC_SQL = f"""
 def dedup_clusters_lsh(spark, sf_dir):
     from eugl_spark.models.signatures import minhash_sig_udf
 
-    sh = _shingles(spark, sf_dir).localCheckpoint()  # reused 3× below
+    sh = checkpoint_df(_shingles(spark, sf_dir))  # reused 3× below
     sig = sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
         "doc_id", "_s.*"
     )
@@ -2731,7 +2732,7 @@ def dedup_clusters_lsh(spark, sf_dir):
                 F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3"),
             )
         ).alias("band"),
-    ).localCheckpoint()  # self-join: don't run the signature kernel per side
+    ).transform(checkpoint_df)  # self-join: don't run the signature kernel per side
     cand = (
         bands.alias("x")
         .join(
