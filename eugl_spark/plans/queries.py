@@ -2113,18 +2113,69 @@ def decontaminate_train(spark, sf_dir):
 _TOKEN_BUDGET = 2000
 
 
-def _budget_filter(nt: DataFrame) -> DataFrame:
+def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """(doc_id, source, ntok) → the per-source token-budget survivors
     with running totals. ONE definition of the boundary rule (a doc is
     kept iff the budget wasn't spent BEFORE it), shared by the
-    standalone op and the corpus-build capstone."""
-    w = W.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    before = F.coalesce(
+    standalone op and the corpus-build capstone.
+
+    Two-phase distributed prefix sum. A plain
+    ``sum() OVER (PARTITION BY source ORDER BY doc_id)`` puts each
+    source in ONE window task — with few sources (a training mix has
+    tens) that is a single-task global sort per source, a straggler at
+    10^12 docs. Instead:
+
+    1. range-partition by (source, doc_id) into ``n_buckets`` tasks and
+       pin the bucket id (monotone in doc_id within a source because
+       range boundaries respect the sort key) with a checkpoint — the
+       partials and the per-row pass below must see the SAME bucketing;
+    2. per-(source, bucket) token partials → tiny exclusive prefix sum
+       over buckets (n_sources × n_buckets rows, one small shuffle);
+    3. broadcast the offsets back, DROPPING buckets whose offset
+       already exceeds the budget — at scale almost all data short-
+       circuits here without ever being window-sorted;
+    4. per-(source, bucket) running sum + offset = the exact global
+       running total, at n_buckets-way parallelism.
+
+    Null-safe source matching throughout: PARTITION BY groups NULL
+    sources into one partition, so the offset join must too.
+    """
+    spark = nt.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = checkpoint_df(
+        nt.repartitionByRange(n_buckets, "source", "doc_id").withColumn(
+            "bkt", F.spark_partition_id()
+        )
+    )
+    wb = W.partitionBy("source").orderBy("bkt")
+    offsets = (
+        b.groupBy("source", "bkt")
+        .agg(F.sum("ntok").alias("bkt_tokens"))
+        .select(
+            F.col("source").alias("o_source"),
+            F.col("bkt").alias("o_bkt"),
+            F.coalesce(
+                F.sum("bkt_tokens").over(wb.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("bkt_offset"),
+        )
+        .filter(F.col("bkt_offset") < _TOKEN_BUDGET)  # prune spent buckets
+    )
+    w = W.partitionBy("source", "bkt").orderBy("doc_id")
+    cum = F.col("bkt_offset") + F.sum("ntok").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.col("bkt_offset") + F.coalesce(
         F.sum("ntok").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
     )
     return (
-        nt.withColumn("cum_tokens", cum.cast("long"))
+        b.join(
+            F.broadcast(offsets),
+            F.col("source").eqNullSafe(F.col("o_source"))
+            & (F.col("bkt") == F.col("o_bkt")),
+        )
+        .withColumn("cum_tokens", cum.cast("long"))
         .withColumn("before_tokens", before.cast("long"))
         .filter(F.col("before_tokens") < _TOKEN_BUDGET)
         .select("doc_id", "source", "cum_tokens")

@@ -46,3 +46,91 @@ def test_token_budget_semantics(spark, sf_dir):
         # every kept doc except the last started under budget
         under = (grp.sort_values("cum_tokens").cum_tokens < _TOKEN_BUDGET).sum()
         assert under >= len(grp) - 1
+
+
+def _skewed_nt(spark):
+    """(doc_id, source, ntok): one source holds 90% of docs (the
+    SURVEY §4 skew row — a training mix where one crawl dominates)."""
+    rows = [(i, "hot", 1) for i in range(9000)]
+    rows += [(9000 + i, f"s{i % 10}", 3) for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+
+
+def test_budget_two_phase_skew_parity(spark):
+    """90%-skewed source: the two-phase prefix sum must equal the
+    single-window definition exactly, including across bucket
+    boundaries (continuous cum_tokens)."""
+    from eugl_spark.plans.queries import _TOKEN_BUDGET, _budget_filter
+
+    nt = _skewed_nt(spark)
+    got = (
+        _budget_filter(nt, n_buckets=16)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # pandas oracle of the boundary rule
+    pdf = nt.toPandas().sort_values(["source", "doc_id"])
+    pdf["cum_tokens"] = pdf.groupby("source").ntok.cumsum()
+    pdf["before"] = pdf.cum_tokens - pdf.ntok
+    want = (
+        pdf[pdf.before < _TOKEN_BUDGET][["doc_id", "source", "cum_tokens"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.cum_tokens.tolist() == want.cum_tokens.tolist()
+    # hot source: survivors are exactly the first _TOKEN_BUDGET docs
+    # (ntok=1 each) and their running total is the contiguous sequence
+    # 1.._TOKEN_BUDGET — the cross-bucket stitching this rewrite must
+    # get right (with 16 range buckets the survivors span several)
+    hot = got[got.source == "hot"]
+    assert hot.cum_tokens.tolist() == list(range(1, _TOKEN_BUDGET + 1))
+
+
+def test_budget_bucket_count_invariance(spark):
+    """THE two-phase invariant: the result is identical at any
+    parallelism — bucket boundaries must never show through."""
+    from eugl_spark.plans.queries import _budget_filter
+
+    nt = _skewed_nt(spark)
+    a = _budget_filter(nt, n_buckets=2).toPandas().sort_values("doc_id")
+    b = _budget_filter(nt, n_buckets=64).toPandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.cum_tokens.tolist() == b.cum_tokens.tolist()
+
+
+def test_budget_plan_is_bucketed_not_per_source(spark):
+    """The per-row window must partition by (source, bkt) — range
+    buckets from spark_partition_id — never by source alone (a
+    single-task-per-source sort at scale)."""
+    from eugl_spark.plans.queries import _budget_filter
+
+    plan = (
+        _budget_filter(_skewed_nt(spark), n_buckets=16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "bkt" in plan
+    # every Window node that orders by doc_id (the per-row pass) must
+    # also partition by bkt; the offsets window orders by bkt instead
+    import re
+
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "doc_id" in line:
+            assert "bkt" in line, line
+
+
+def test_budget_null_source_grouping(spark):
+    """PARTITION BY groups NULL sources as one partition — the offset
+    join must be null-safe or null-source rows silently vanish."""
+    from eugl_spark.plans.queries import _budget_filter
+
+    nt = spark.createDataFrame(
+        [(1, None, 5), (2, None, 7), (3, "a", 2)],
+        "doc_id long, source string, ntok long",
+    )
+    got = _budget_filter(nt, n_buckets=4).toPandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == [1, 2, 3]
+    assert got.cum_tokens.tolist() == [5, 12, 2]
