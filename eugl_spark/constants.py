@@ -17,6 +17,7 @@ from the word lists below by pure functions at import time.
 from __future__ import annotations
 
 import math
+import os
 
 # ---------------------------------------------------------------------------
 # Languages & word lists (synthetic corpora are generated from these)
@@ -196,6 +197,14 @@ N_BUCKETS: int = 64          # salted host-bucket count at test scale;
 # same input. The only cost is more (smaller) output files per bucket,
 # which compact_bucket exists to fold back.
 SALT_FACTOR: int = 64
+# O(n²) baseline guard: the brute-force ANN / all-pairs Jaccard ops are
+# correctness oracles, not the scale path. Above this many input rows
+# they refuse and point at their sub-quadratic twin (LSH / IVF) rather
+# than silently launching an n² shuffle. 0 disables the guard;
+# overridable per-process via env EUGL_QUADRATIC_ROW_LIMIT.
+QUADRATIC_ROW_LIMIT: int = int(
+    os.environ.get("EUGL_QUADRATIC_ROW_LIMIT", "200000")
+)
 ENGINE_VERSION: str = "0.1.0"
 STAGE_VERSIONS: dict[str, str] = {
     "extract": "1", "langid": "1", "perplexity": "1",

@@ -378,6 +378,30 @@ _JACCARD_SQL = (
 )
 
 
+def _guard_quadratic(df: DataFrame, op: str, alternative: str) -> DataFrame:
+    """Refuse to launch an O(n²) baseline above C.QUADRATIC_ROW_LIMIT.
+
+    The brute-force ops exist as correctness oracles for their
+    sub-quadratic twins; at corpus scale an unguarded crossJoin /
+    all-pairs self-join is a cluster-killer, not a slow query. The
+    count here is a cheap scan (the input is either a parquet scan or
+    an already-checkpointed frame). Returns df unchanged when under
+    the limit, so guarded queries hash identically at test scale.
+    """
+    limit = C.QUADRATIC_ROW_LIMIT
+    if limit <= 0:
+        return df
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{op}: input has {n:,} rows, above the O(n^2) baseline "
+            f"guard ({limit:,}). Use the sub-quadratic twin "
+            f"`{alternative}`, or raise EUGL_QUADRATIC_ROW_LIMIT / set "
+            f"it to 0 if you really mean to run the brute-force oracle."
+        )
+    return df
+
+
 @q(
     "dedup_ngram_jaccard",
     _JACCARD_SQL,
@@ -389,7 +413,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # consumer re-runs scan+tokenize+shingle (checkpoint_df writes a
     # persisted table when a checkpoint dir is configured — the
     # 10^12-doc path — and executor-local blocks otherwise)
-    sh = checkpoint_df(_shingles(spark, sf_dir))
+    sh = _guard_quadratic(
+        checkpoint_df(_shingles(spark, sf_dir)),
+        "dedup_ngram_jaccard",
+        "dedup_minhash_bands / dedup_clusters_lsh",
+    )
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
     common = (
@@ -593,7 +621,11 @@ def _norm(v):
 def ann_topk_bruteforce(spark, sf_dir):
     from eugl_spark.models.embedding_kernels import cosine_udf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _guard_quadratic(
+        _t(spark, sf_dir, "embeddings"),
+        "ann_topk_bruteforce",
+        "ann_ivf_topk / ann_kmeans_topk",
+    )
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -629,7 +661,9 @@ def ann_cosine_pairs(spark, sf_dir):
     # crossJoin materializes both 64-float vectors per PAIR, so the
     # kernel's Arrow transfer is O(n²·dim) — measured 5× slower than
     # evaluating the fold inside the join stage.
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _guard_quadratic(
+        _t(spark, sf_dir, "embeddings"), "ann_cosine_pairs", "ann_lsh_pairs"
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
