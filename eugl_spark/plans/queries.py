@@ -2648,9 +2648,25 @@ def ann_kmeans_cells(spark, sf_dir):
     )
 
 
-def _kmeans_centroids(emb: DataFrame) -> DataFrame:
-    """Train the quantizer: deterministic init (first K vectors),
-    _KMEANS_ITERS Lloyd rounds, centroids checkpointed per round."""
+def _kmeans_centroids(
+    emb: DataFrame,
+    iters: int = _KMEANS_ITERS,
+    tol: float | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Train the quantizer: deterministic init (first K vectors), Lloyd
+    rounds with centroids checkpointed per round.
+
+    Two stopping modes:
+    * ``tol=None`` (the oracle mode): exactly ``iters`` rounds — the
+      registry query needs a fixed unroll so its SQL twin can mirror
+      it CTE-for-CTE.
+    * ``tol=x`` (the library mode): run until the summed squared
+      centroid shift between rounds drops below ``tol`` (or
+      ``max_iters``). The shift is ONE scalar aggregate per round —
+      the same cheap fixpoint probe as the CC label-sum
+      (operators/graph.py) — never a full-frame diff.
+    """
     centroids = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
         .select(
@@ -2661,9 +2677,31 @@ def _kmeans_centroids(emb: DataFrame) -> DataFrame:
         )
         .transform(checkpoint_df)
     )
-    for _ in range(_KMEANS_ITERS):
-        assigned = _kmeans_assign(emb, centroids)
-        centroids = checkpoint_df(_kmeans_update(assigned))
+    if tol is None:
+        for _ in range(iters):
+            assigned = _kmeans_assign(emb, centroids)
+            centroids = checkpoint_df(_kmeans_update(assigned))
+        return centroids
+    for _ in range(max_iters):
+        new = checkpoint_df(_kmeans_update(_kmeans_assign(emb, centroids)))
+        shift = (
+            centroids.select("cell", F.col("cvec").alias("old_cvec"))
+            .join(new, "cell")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        "old_cvec", "cvec", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2")
+            )
+            .agg(F.sum("d2"))
+            .collect()[0][0]
+        )
+        centroids = new
+        if shift is not None and shift < tol:
+            break
     return centroids
 
 
