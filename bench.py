@@ -92,6 +92,61 @@ def run_pipeline_once(spark, pages_path: str) -> int:
     return int(row["n"])
 
 
+def capstone_sf1_dir(mult: int = 10) -> str:
+    """A 10×-scale documents table for the capstone bench (cached).
+
+    Deterministic upscale of the driver's sf0.1 documents table —
+    same shape, 10× rows (sf1.0-equivalent). Replica k of a doc gets a
+    per-replica salt word spliced in every 5 tokens, which destroys
+    most 3-gram shingles across replicas: replicas are genuinely
+    DISTINCT documents (not one giant near-dup family), so the
+    capstone's dedup/decontaminate/budget stages do representative
+    work rather than clustering a synthetic 10-way dup explosion.
+    """
+    out_dir = os.path.join(tempfile.gettempdir(), f"eugl_capstone_x{mult}")
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return out_dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    pdf = src.to_pandas()
+    n = len(pdf)
+    parts = []
+    for k in range(mult):
+        rep = pdf.copy()
+        rep["doc_id"] = rep["doc_id"] + k * 10_000_000
+        if k > 0:
+            salt = f"zq{k}x"
+
+            def splice(t, _s=salt):
+                if t is None:
+                    return None
+                w = t.split(" ")
+                return " ".join(
+                    tok for i, g in enumerate(w) for tok in ([g, _s] if i % 5 == 4 else [g])
+                )
+
+            rep["text"] = rep["text"].map(splice)
+            if "n_chars" in rep.columns:
+                rep["n_chars"] = rep["text"].map(lambda t: len(t) if t else 0)
+        parts.append(rep)
+    import pandas as pd
+
+    big = pd.concat(parts, ignore_index=True)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{dst}.{os.getpid()}.tmp"
+    pq.write_table(
+        pa.Table.from_pandas(big, schema=src.schema, preserve_index=False),
+        tmp,
+        row_group_size=8192,
+    )
+    os.replace(tmp, dst)
+    print(f"capstone_sf1: {len(big)} docs at {out_dir}", file=sys.stderr)
+    return out_dir
+
+
 def main_bench() -> None:
     from eugl_spark.plans.queries import REGISTRY
     from eugl_spark.session import get_spark
@@ -124,6 +179,18 @@ def main_bench() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    # capstone at sf1.0-equivalent (10× documents): tracks whether the
+    # verdict→dedup→decontaminate→split→budget composition scales with
+    # input, not just the sf0.1 point (VERDICT r2 #8)
+    cap_dir = capstone_sf1_dir()
+    best_c = None
+    for _ in range(2):
+        t0 = time.time()
+        REGISTRY["corpus_build_train"].spark(spark, cap_dir).count()
+        dt = time.time() - t0
+        best_c = dt if best_c is None else min(best_c, dt)
+    timings["corpus_build_train_sf1"] = round(best_c, 3)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["qf_pipeline_full"], 1)
