@@ -2858,24 +2858,27 @@ def dedup_clusters_lsh(spark, sf_dir):
     # jaccard-1.0 cliques, and cluster = min(doc_id) survives because
     # each rep IS its group's min. Size-1 sets can never pass the
     # c >= 2 floor against anything, so they exit here (as before).
-    keyed = checkpoint_df(
-        sh.filter(F.size("sh") >= 2).select(
+    # ONE window shuffle assigns every member its group-min rep and
+    # group size (no groupBy+join back); the fat shingle arrays stay in
+    # the already-checkpointed `sh` frame — member_rep is 3 slim cols
+    wk = W.partitionBy("k")
+    member_rep = checkpoint_df(
+        sh.filter(F.size("sh") >= 2)
+        .select(
             "doc_id",
-            "sh",
             F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256).alias("k"),
         )
+        .select(
+            "doc_id",
+            F.min("doc_id").over(wk).alias("rep"),
+            F.count("*").over(wk).alias("n_members"),
+        )
     )
-    groups = keyed.groupBy("k").agg(
-        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
-    )
-    member_rep = keyed.select("doc_id", "k").join(groups, "k").select(
-        "doc_id", "rep", "n_members"
-    )
-    rep_sh = checkpoint_df(
-        keyed.join(
-            groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-        ).select("doc_id", "sh")
-    )  # reused 3× below
+    reps = member_rep.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    # checkpointed: three consumers below (signature kernel, verify
+    # sides a and b) — re-deriving the semi-join would shuffle the fat
+    # shingle arrays once per consumer at corpus scale
+    rep_sh = checkpoint_df(sh.join(reps, "doc_id", "left_semi"))
     sig = rep_sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
         "doc_id", "_s.*"
     )
