@@ -2843,7 +2843,7 @@ _MHC_SQL = f"""
 def dedup_clusters_lsh(spark, sf_dir):
     from eugl_spark.models.signatures import minhash_sig_udf
 
-    sh = checkpoint_df(_shingles(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     # --- exact-dup collapse BEFORE the band join -------------------
     # A crawl's boilerplate pages form huge identical-text families;
     # every member lands in the SAME band bucket (the signature is a
@@ -2859,26 +2859,26 @@ def dedup_clusters_lsh(spark, sf_dir):
     # each rep IS its group's min. Size-1 sets can never pass the
     # c >= 2 floor against anything, so they exit here (as before).
     # ONE window shuffle assigns every member its group-min rep and
-    # group size (no groupBy+join back); the fat shingle arrays stay in
-    # the already-checkpointed `sh` frame — member_rep is 3 slim cols
+    # group size (no groupBy+join back, no separate semi-join); the
+    # single `tagged` materialization serves both the slim membership
+    # frame and the rep shingle sets as free column-pruned filters
     wk = W.partitionBy("k")
-    member_rep = checkpoint_df(
+    tagged = checkpoint_df(
         sh.filter(F.size("sh") >= 2)
-        .select(
-            "doc_id",
-            F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256).alias("k"),
+        .withColumn(
+            "k", F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256)
         )
         .select(
             "doc_id",
+            "sh",
             F.min("doc_id").over(wk).alias("rep"),
             F.count("*").over(wk).alias("n_members"),
         )
     )
-    reps = member_rep.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    # checkpointed: three consumers below (signature kernel, verify
-    # sides a and b) — re-deriving the semi-join would shuffle the fat
-    # shingle arrays once per consumer at corpus scale
-    rep_sh = checkpoint_df(sh.join(reps, "doc_id", "left_semi"))
+    member_rep = tagged.select("doc_id", "rep", "n_members")
+    rep_sh = tagged.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "sh"
+    )  # consumed 3× below, each a cheap filter of the materialization
     sig = rep_sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
         "doc_id", "_s.*"
     )
