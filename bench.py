@@ -52,6 +52,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "window_running_total",
+    "corpus_mixture_sample",
     "corpus_build_train",
 ]
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eugl_spark import constants as C
@@ -322,6 +322,24 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _once(col) -> Column:
+    """Force `col` to evaluate exactly ONCE per row.
+
+    A projection alias is NOT an evaluation point: projection collapse
+    and predicate pushdown substitute the defining expression into
+    every downstream reference — including inside higher-order-function
+    lambdas, where the interpreted eval path (HOFs never enter
+    whole-stage codegen) re-runs it PER ARRAY ELEMENT. With the shared
+    tokenizer that turns gram-building into O(tokens × doc_len) per
+    document — a single 1 MB page ran >20 min (killed) vs ~2 s fixed.
+    explode(array(col)) routes the value through a Generate node, a
+    hard evaluation boundary the optimizer cannot inline through, at
+    the cost of a no-op one-row expansion. array(col) is never null,
+    so no rows are dropped; a null col value survives as [null].
+    """
+    return F.explode(F.array(col))
+
+
 def _shingles(spark, sf_dir) -> DataFrame:
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # documents is a small file (1 scan split) but shingling is
@@ -332,16 +350,13 @@ def _shingles(spark, sf_dir) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
     )
     toks = H.tokens(F.col("text"))
-    df = df.select("doc_id", toks.alias("toks"))
+    # _once: without the barrier the tokenizer is inlined into the
+    # size() filter AND per element_at inside the shingle lambda
+    df = df.select("doc_id", _once(toks).alias("toks"))
     # Drop <3-token docs HERE, on the cheap `toks` column: they have no
     # shingles, so they can't appear in any downstream pair/signature.
     # Unguarded, sequence(1, 0) yields a DESCENDING [1, 0] and
-    # element_at(toks, 0) aborts the job under ANSI. Filtering must
-    # happen at this altitude: any filter placed above the (expensive)
-    # shingle transform — or above a downstream pandas UDF — gets
-    # pushed to the scan with the WHOLE expression tree inlined,
-    # re-running the tokenizer once per element_at (measured: +8s on a
-    # 0.5s stage at sf0.1).
+    # element_at(toks, 0) aborts the job under ANSI.
     df = df.filter(F.size("toks") >= 3)
     sh = F.array_distinct(
         F.transform(
@@ -2018,7 +2033,7 @@ def text_top_bigrams(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = df.select(toks.alias("t")).select(
+    bg = df.select(_once(toks).alias("t")).select(
         F.explode(bigrams).alias("bigram")
     )
     # global top-k via orderBy+limit: Spark plans this as
@@ -2113,7 +2128,8 @@ def decontaminate_train(spark, sf_dir):
         int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
     )
     toks = H.tokens(F.col("text"))
-    df = df.select("doc_id", "source", toks.alias("toks")).filter(
+    # _once: same tokenizer-inlining barrier as _shingles
+    df = df.select("doc_id", "source", _once(toks).alias("toks")).filter(
         F.size("toks") >= _DECON_N  # cheap pre-shuffle filter (see _shingles)
     )
     grams = F.array_distinct(
@@ -2173,7 +2189,14 @@ def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
 
     Null-safe source matching throughout: PARTITION BY groups NULL
     sources into one partition, so the offset join must too.
+
+    If ``nt`` carries a ``budget`` column (constant per source — a
+    mixture weight times the total), it replaces the flat
+    ``_TOKEN_BUDGET``; the bucket-pruning and boundary rules are
+    otherwise identical, so the mixture sampler inherits the same
+    two-phase scale shape.
     """
+    per_source_budget = "budget" in nt.columns
     spark = nt.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -2183,9 +2206,13 @@ def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
         )
     )
     wb = W.partitionBy("source").orderBy("bkt")
+    bkt_aggs = [F.sum("ntok").alias("bkt_tokens")]
+    if per_source_budget:
+        bkt_aggs.append(F.first("budget").alias("_budget"))
+    budget = F.col("_budget") if per_source_budget else F.lit(_TOKEN_BUDGET)
     offsets = (
         b.groupBy("source", "bkt")
-        .agg(F.sum("ntok").alias("bkt_tokens"))
+        .agg(*bkt_aggs)
         .select(
             F.col("source").alias("o_source"),
             F.col("bkt").alias("o_bkt"),
@@ -2193,8 +2220,9 @@ def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
                 F.sum("bkt_tokens").over(wb.rowsBetween(W.unboundedPreceding, -1)),
                 F.lit(0),
             ).alias("bkt_offset"),
+            *([F.col("_budget")] if per_source_budget else []),
         )
-        .filter(F.col("bkt_offset") < _TOKEN_BUDGET)  # prune spent buckets
+        .filter(F.col("bkt_offset") < budget)  # prune spent buckets
     )
     w = W.partitionBy("source", "bkt").orderBy("doc_id")
     cum = F.col("bkt_offset") + F.sum("ntok").over(
@@ -2211,7 +2239,7 @@ def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
         )
         .withColumn("cum_tokens", cum.cast("long"))
         .withColumn("before_tokens", before.cast("long"))
-        .filter(F.col("before_tokens") < _TOKEN_BUDGET)
+        .filter(F.col("before_tokens") < budget)
         .select("doc_id", "source", "cum_tokens")
     )
 
@@ -2252,6 +2280,131 @@ def corpus_token_budget(spark, sf_dir):
         F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
     )
     return _budget_filter(nt)
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture ops: a training corpus is assembled from per-source
+# WEIGHTS (the Pile / LLaMA "epochs per subset" recipe), not one flat
+# budget. The weight here is a deterministic function of the source
+# name (its trailing number mod 4, +1 → 1..4) so both engines derive
+# the identical mixture without a side-channel weights file; in
+# production the same plan takes a broadcast weights dim instead.
+# ---------------------------------------------------------------------------
+
+_MIX_UNIT = 1000  # tokens of budget per unit of mixture weight
+
+_MIX_REL_SQL = (
+    "coalesce(CAST(nullif(regexp_extract(source, '(\\d+)$', 1), '')"
+    " AS INT) % 4 + 1, 1)"
+)
+
+# fractional-epoch membership: md5-prefix hash of the doc id, same
+# integer in both engines (the _SPLIT_HASH_SQL trick, keyed by doc)
+_DOC_HASH_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 100"
+)
+
+
+def _mix_rel_col():
+    """Spark twin of _MIX_REL_SQL: per-source mixture weight 1..4."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(F.col("source"), r"(\d+)$", 1), F.lit(""))
+        .cast("int")
+        % 4
+        + 1,
+        F.lit(1),
+    )
+
+
+def _doc_hash_col():
+    """Spark twin of _DOC_HASH_SQL: deterministic per-doc percent."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+
+
+@q(
+    "corpus_mixture_sample",
+    f"""
+    WITH ntb AS (
+      SELECT doc_id, source,
+        len(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS ntok,
+        {_MIX_REL_SQL} * {_MIX_UNIT} AS budget
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, cum_tokens FROM (
+      SELECT doc_id, source, budget,
+        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens,
+        CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS before_tokens
+      FROM ntb)
+    WHERE before_tokens < budget
+    """,
+    "Training-data op: mixture sampling — per-source token budget = "
+    "mixture weight x unit (not one flat cap); same two-phase "
+    "distributed prefix sum and boundary rule as corpus_token_budget",
+)
+def corpus_mixture_sample(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nt = df.select(
+        "doc_id",
+        "source",
+        F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
+        (_mix_rel_col() * _MIX_UNIT).cast("long").alias("budget"),
+    )
+    return _budget_filter(nt)
+
+
+@q(
+    "corpus_upsample_epochs",
+    f"""
+    WITH n AS (
+      SELECT doc_id, source,
+        ({_MIX_REL_SQL} // 2)
+          + CASE WHEN {_MIX_REL_SQL} % 2 = 1
+                  AND {_DOC_HASH_SQL} < 50 THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM n, unnest(generate_series(1, n_copies)) AS t(epoch)
+    WHERE n_copies >= 1
+    """,
+    "Training-data op: epoch upsampling — each source's docs repeat "
+    "floor(weight/2) times plus a deterministic hash-chosen half for "
+    "odd weights (fractional epochs a la Pile subsets); narrow "
+    "explode, zero shuffles",
+)
+def corpus_upsample_epochs(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    rel = _mix_rel_col()
+    n_copies = (
+        F.floor(rel / 2).cast("int")
+        + F.when((rel % 2 == 1) & (_doc_hash_col() < 50), 1).otherwise(0)
+    ).alias("n_copies")
+    return (
+        df.select("doc_id", "source", n_copies)
+        # sequence(1, 0) would DESCEND ([1, 0]) rather than be empty —
+        # zero-copy docs must exit before the explode
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            # long-typed sequence: a generator can't nest inside a
+            # cast, so the element type must be right going in
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), F.col("n_copies").cast("long")
+                )
+            ).alias("epoch"),
+        )
+    )
 
 
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common

@@ -91,3 +91,31 @@ def test_verdict_gate_single_python_boundary(spark, sf_dir):
     p = _plan(REGISTRY["pipeline_docs_verdict"].spark(spark, sf_dir))
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_once_barrier_keeps_tokenizer_out_of_lambdas(spark):
+    """_once must confine an expensive expression to a Generate node.
+    Without it, projection collapse inlines the tokenizer into the
+    size() filter and PER element_at inside gram lambdas — the
+    interpreted HOF path then re-runs the regex once per array element
+    (a 1 MB doc: >20 min, killed; with the barrier: seconds)."""
+    from eugl_spark.plans.queries import _once
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    out = (
+        df.select(_once(toks).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.element_at("toks", i),
+            ).alias("g")
+        )
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    rest = [ln for ln in plan.splitlines() if "Generate" not in ln]
+    assert any("regexp_extract_all" in ln for ln in gen), plan
+    assert not any("regexp_extract_all" in ln for ln in rest), plan
+    assert out.collect()[0].g == ["a"]

@@ -134,3 +134,101 @@ def test_budget_null_source_grouping(spark):
     got = _budget_filter(nt, n_buckets=4).toPandas().sort_values("doc_id")
     assert got.doc_id.tolist() == [1, 2, 3]
     assert got.cum_tokens.tolist() == [5, 12, 2]
+
+
+def test_mixture_budget_per_source(spark, sf_dir):
+    """Mixture sampling: each source's survivors honor ITS budget
+    (weight x unit), not a flat cap."""
+    import re
+
+    from eugl_spark.plans.queries import _MIX_UNIT
+
+    got = REGISTRY["corpus_mixture_sample"].spark(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    totals = dict(
+        con.sql(
+            f"SELECT source, CAST(sum(len(regexp_extract_all(lower(text),"
+            f" '{_TOK_SQL}'))) AS BIGINT) FROM documents"
+            f" WHERE text IS NOT NULL GROUP BY source"
+        ).fetchall()
+    )
+
+    def budget(source):
+        m = re.search(r"(\d+)$", source)
+        rel = (int(m.group(1)) % 4 + 1) if m else 1
+        return rel * _MIX_UNIT
+
+    seen_budgets = set()
+    for source, grp in got.groupby("source"):
+        cap = budget(source)
+        seen_budgets.add(cap)
+        last = grp.cum_tokens.max()
+        # ran out of docs under budget, or crossed it on the last doc
+        assert last == totals[source] or last >= cap
+        under = (grp.sort_values("cum_tokens").cum_tokens < cap).sum()
+        assert under >= len(grp) - 1
+    # the mixture actually exercises several distinct budgets
+    assert len(seen_budgets) >= 3
+
+
+def test_upsample_epochs_copy_counts(spark, sf_dir):
+    """Epoch upsampling: per-doc multiplicity == floor(rel/2) plus the
+    md5-hash-chosen half epoch for odd rel; epochs dense from 1."""
+    import hashlib
+    import re
+
+    got = REGISTRY["corpus_upsample_epochs"].spark(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+
+    def expected_copies(doc_id, source):
+        m = re.search(r"(\d+)$", source or "")
+        rel = (int(m.group(1)) % 4 + 1) if m else 1
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return rel // 2 + (1 if rel % 2 == 1 and h < 50 else 0)
+
+    counts = got.groupby("doc_id").epoch.agg(["count", "min", "max"])
+    for _, row in docs.iterrows():
+        n = expected_copies(row.doc_id, row.source)
+        if n == 0:
+            assert row.doc_id not in counts.index
+        else:
+            c = counts.loc[row.doc_id]
+            assert c["count"] == n and c["min"] == 1 and c["max"] == n
+    # fractional epochs really happen: some rel-1/rel-3 docs dropped
+    assert len(counts) < len(docs)
+    # and upsampling really happens: more rows out than docs in
+    assert len(got) > len(docs)
+
+
+def test_mixture_budget_filter_skew_parity(spark):
+    """The generalized per-source-budget _budget_filter matches the
+    pandas boundary rule on the 90%-skew frame with UNEQUAL budgets."""
+    from eugl_spark.plans.queries import _budget_filter
+    import pyspark.sql.functions as F
+
+    nt = _skewed_nt(spark).withColumn(
+        "budget",
+        F.when(F.col("source") == "hot", F.lit(500)).otherwise(F.lit(9)),
+    )
+    got = (
+        _budget_filter(nt, n_buckets=16)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pdf = nt.toPandas().sort_values(["source", "doc_id"])
+    pdf["cum_tokens"] = pdf.groupby("source").ntok.cumsum()
+    pdf["before"] = pdf.cum_tokens - pdf.ntok
+    want = (
+        pdf[pdf.before < pdf.budget][["doc_id", "source", "cum_tokens"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.cum_tokens.tolist() == want.cum_tokens.tolist()
+    # hot source capped at 500 (not the flat default), cold at 3 docs
+    assert (got.source == "hot").sum() == 500
+    assert set(got[got.source != "hot"].groupby("source").size()) == {3}
