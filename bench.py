@@ -193,7 +193,11 @@ def main_bench() -> None:
         best_c = dt if best_c is None else min(best_c, dt)
     timings["corpus_build_train_sf1"] = round(best_c, 3)
 
-    total = round(sum(timings.values()), 3)
+    # headline_total = the sf0.1 suite only; the 10x capstone is
+    # reported per-query but would swamp (and re-scale) the total
+    total = round(
+        sum(v for k, v in timings.items() if k != "corpus_build_train_sf1"), 3
+    )
     docs_per_sec = round(n_docs / timings["qf_pipeline_full"], 1)
     print(
         json.dumps(
