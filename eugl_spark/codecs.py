@@ -1,0 +1,340 @@
+"""Real media codecs from the standard library + numpy — no external
+image/audio packages.
+
+The multimodal plumbing (multimodal.py) needs decoders that actually
+run; this module provides them for every format the stdlib can carry:
+
+* WAV  — PCM 8/16-bit via `wave`; returns float32 (n_frames, ch) in [-1, 1)
+* BMP  — uncompressed 24-bit bottom-up; returns uint8 (H, W, 3) RGB
+* PGM/PPM — binary netpbm P5/P6, maxval ≤ 255; uint8 (H, W) / (H, W, 3)
+* PNG  — via `zlib`: 8-bit gray / RGB / RGBA, non-interlaced, all five
+  scanline filters (None/Sub/Up/Average/Paeth); uint8 (H, W[, C])
+
+Compressed codecs (JPEG, Opus, AV1, …) genuinely need external
+libraries and stay behind the `decode=` hook in multimodal.py.
+
+Encoders for the same formats exist so tests and the synthetic media
+table produce REAL files (round-trip = decode(encode(x)) == x), the
+analog of the reference generating its own test imagery
+(/root/reference/testing/fmask-generate-test-data.py).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV (PCM)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV → float32 (n_frames, n_channels) in [-1, 1)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        ch, sw, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(n)
+    if sw == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:  # signed little-endian 16-bit
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return arr.reshape(-1, ch)
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000, sampwidth: int = 2
+) -> bytes:
+    """float array in [-1, 1) (n,) or (n, ch) → 16-bit PCM WAV bytes."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if sampwidth != 2:
+        raise ValueError("encoder emits 16-bit PCM only")
+    ints = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → uint8 (H, W, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, np.uint8, count=height * stride, offset=data_off
+    ).reshape(height, stride)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[..., ::-1]  # BGR → RGB
+    return img[::-1].copy() if bottom_up else img.copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit bottom-up BMP bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("24-bit BMP needs (H, W, 3)")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+# ---------------------------------------------------------------------------
+# netpbm (binary P5 gray / P6 RGB)
+# ---------------------------------------------------------------------------
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6), maxval ≤ 255 → uint8 (H,W[,3])."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm file")
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, with '#' comments running to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 1 if magic == b"P5" else 3
+    arr = np.frombuffer(payload, np.uint8, count=h * w * ch, offset=pos)
+    return arr.reshape((h, w) if ch == 1 else (h, w, 3)).copy()
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """uint8 (H,W) → P5, (H,W,3) → P6."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    else:
+        raise ValueError("netpbm needs (H,W) or (H,W,3)")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG (zlib from the stdlib; filters reconstructed here)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA
+
+
+def _png_chunks(payload: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced gray/RGB/RGBA PNG → uint8 (H, W[, C])."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = idat = None
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat = data if idat is None else idat + data
+    if ihdr is None or idat is None:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_i not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG depth={depth} colortype={ctype_i} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[ctype_i]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint16)
+    for y in range(h):
+        f, line = int(raw[y, 0]), raw[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recurrence
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    rec = line[x] + a
+                elif f == 3:
+                    rec = line[x] + ((a + b) >> 1)
+                else:
+                    rec = line[x] + _paeth(int(a), int(b), int(c))
+                cur[x] = rec & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0].copy() if ch == 1 else img
+
+
+def png_filter_row(
+    f: int, line: np.ndarray, prev: np.ndarray, ch: int
+) -> np.ndarray:
+    """FORWARD application of PNG filter `f` to a raw scanline — used
+    by the encoder and by tests to exercise the decoder's inverse on
+    every filter type."""
+    line = line.astype(np.int16)
+    prev = prev.astype(np.int16)
+    a = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+    c = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+    if f == 0:
+        out = line
+    elif f == 1:
+        out = line - a
+    elif f == 2:
+        out = line - prev
+    elif f == 3:
+        out = line - ((a + prev) >> 1)
+    elif f == 4:
+        pred = np.fromiter(
+            (_paeth(int(ai), int(bi), int(ci)) for ai, bi, ci in zip(a, prev, c)),
+            np.int16,
+            len(line),
+        )
+        out = line - pred
+    else:
+        raise ValueError(f"bad PNG filter {f}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, row_filter: int = 0) -> bytes:
+    """uint8 (H,W) / (H,W,3) / (H,W,4) → PNG bytes (8-bit,
+    non-interlaced, every row using `row_filter`)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError("PNG needs 1, 3 or 4 channels")
+    flat = img.reshape(h, w * ch)
+    rows = []
+    for y in range(h):
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.uint8)
+        rows.append(bytes([row_filter]))
+        rows.append(png_filter_row(row_filter, flat[y], prev, ch).tobytes())
+    raw = b"".join(rows)
+
+    def chunk(ctype_b: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype_b
+            + data
+            + struct.pack(">I", zlib.crc32(ctype_b + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch + pure-numpy image ops
+# ---------------------------------------------------------------------------
+
+
+def sniff_decode(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the real decoders above.
+
+    Raises NotImplementedError for formats that genuinely need
+    external libraries (JPEG/Opus/AV1/...), ValueError for corrupt
+    payloads of a recognized format.
+    """
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    head = payload[:8].hex() if payload else "<empty>"
+    raise NotImplementedError(
+        f"no stdlib codec for payload starting {head}; compressed formats "
+        "(JPEG/Opus/AV1) need external libraries — pass a custom decode="
+    )
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width[, C]) — pure numpy
+    fancy indexing, the resize kernel for decoded images."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]

@@ -2,12 +2,16 @@
 
 Media payloads are `binary` columns with a typed metadata struct; the
 Spark-side plumbing (schema, partition strategy, mapInPandas batch
-shape, Arrow transfer) is real and tested. The actual codec work is
-STUBBED: the image/audio libraries are not in this environment, so
-`decode=...` hooks either raise NotImplementedError (real mode) or
-run a deterministic fake (test mode) — the same pattern as the
-reference's subprocessed GDAL tools, which eugl treats as opaque
-kernels behind a uniform runner (/root/reference/eugl/fmask.py:108-156).
+shape, Arrow transfer) is real and tested. Decoding is REAL for every
+format the stdlib can carry — PNG (zlib), BMP, PGM/PPM, PCM WAV
+(`eugl_spark.codecs`, magic-byte dispatch) — so the default
+`decode=real_decode` path runs end-to-end on genuine files.
+Compressed codecs (JPEG/Opus/AV1) need external libraries absent
+here: those payloads surface as per-row NotImplementedError rows
+(never task failures), and a library-backed decoder plugs in via the
+same `decode=` hook — the pattern of the reference's subprocessed
+GDAL tools behind a uniform runner
+(/root/reference/eugl/fmask.py:108-156).
 """
 
 from __future__ import annotations
@@ -79,13 +83,53 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthesize_real_media(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic media table of REAL files: images cycle
+    PNG/BMP/PPM, audio is 16-bit PCM WAV, and every 9th row is an
+    'av1' video payload no stdlib codec can open — exercising the
+    NotImplementedError error-row path in real mode."""
+    from eugl_spark import codecs
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        mod = i % 9
+        if mod == 8:  # genuinely-unsupported compressed format
+            payload = b"\x00\x00\x00 ftypav01" + bytes(rng.randint(0, 256, 64, "u1"))
+            rows.append((i, "video", bytearray(payload),
+                         (None, None, int(rng.randint(1000, 60000)), "av1")))
+            continue
+        if mod in (0, 3, 6):  # audio
+            t = np.arange(400 + 8 * (i % 13), dtype=np.float64)
+            sig = 0.5 * np.sin(2 * np.pi * t * (0.01 + 0.001 * (i % 7)))
+            payload = codecs.encode_wav(sig, rate=16000)
+            rows.append((i, "audio", bytearray(payload),
+                         (None, None, int(len(t) * 1000 // 16000), "wav")))
+            continue
+        h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+        img = rng.randint(0, 256, (h, w, 3), "u1")
+        # (i // 9 + i) % 3, not i % 3: the image mods {1,2,4,5,7} are
+        # never ≡0 (mod 3) within a block — rotating by the block index
+        # lets all three encoders appear
+        enc, codec = [
+            (codecs.encode_png, "png"),
+            (codecs.encode_bmp, "bmp"),
+            (codecs.encode_netpbm, "ppm"),
+        ][(i // 9 + i) % 3]
+        rows.append((i, "image", bytearray(enc(img)), (w, h, None, codec)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
-    """Hook for a real decoder (PIL/torchaudio/pyav) — not available
-    in this environment."""
-    raise NotImplementedError(
-        f"no {kind} codec libraries in this environment; "
-        "pass decode=fake_decode for the deterministic test path"
-    )
+    """Real decode via stdlib codecs (PNG/BMP/netpbm/WAV, magic-byte
+    dispatch). Raises NotImplementedError for formats that genuinely
+    need external libraries (JPEG/Opus/AV1) — per-row isolated by the
+    callers, and replaceable via the decode= hook."""
+    from eugl_spark.codecs import sniff_decode
+
+    return sniff_decode(payload)
 
 
 def fake_decode(kind: str, payload: bytes, meta) -> np.ndarray:
@@ -124,7 +168,9 @@ def extract_features(media: DataFrame, decode=real_decode) -> DataFrame:
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    sig = decode(kind, bytes(payload), meta)
+                    sig = np.asarray(
+                        decode(kind, bytes(payload), meta)
+                    ).ravel()  # images arrive (H,W,C), audio (n,ch)
                     # fixed-length pooled feature: FEATURE_DIM bucket means
                     k = max(1, sig.size // FEATURE_DIM)
                     pooled = [
@@ -146,11 +192,15 @@ def extract_features(media: DataFrame, decode=real_decode) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int, height: int,
                   decode=real_decode) -> DataFrame:
-    """Image resize plumbing: filter → mapInPandas → binary out.
+    """Image resize: filter → mapInPandas → PNG-encoded binary out.
 
-    Real resampling needs an image library (stubbed); the fake path
-    re-buckets the decoded byte signal to width*height bytes so batch
-    shape and schema are exercised end-to-end."""
+    Decoded (H, W[, C]) arrays are nearest-neighbor resampled with
+    pure-numpy fancy indexing and re-encoded as PNG
+    (eugl_spark.codecs); a 1-D decode result (the fake plumbing path)
+    is treated as a 1×N gray image so batch shape and schema are
+    exercised identically."""
+    from eugl_spark.codecs import encode_png, resize_nearest
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -160,16 +210,17 @@ def resize_images(media: DataFrame, width: int, height: int,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in batches:
             payloads, errs = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
-                    sig = decode("image", bytes(payload), meta)
-                    idx = (np.arange(target) * sig.size // target).clip(
-                        0, sig.size - 1
+                    sig = np.asarray(decode("image", bytes(payload), meta))
+                    if sig.ndim == 1:
+                        sig = sig[None, :]  # 1×N gray
+                    small = resize_nearest(
+                        np.clip(sig, 0, 255).astype(np.uint8), width, height
                     )
-                    payloads.append(bytearray(sig[idx].astype(np.uint8).tobytes()))
+                    payloads.append(bytearray(encode_png(small)))
                     errs.append(None)
                 except Exception as e:  # noqa: BLE001
                     payloads.append(None)

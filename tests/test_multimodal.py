@@ -52,11 +52,18 @@ def test_null_payload_isolated(spark):
 
 
 def test_resize_images(spark):
+    from eugl_spark.codecs import decode_png
+
     media = synthesize_media(spark, 30)
     out = resize_images(media, 8, 6, decode=fake_decode).collect()
     n_images = media.filter(F.col("kind") == "image").count()
     assert len(out) == n_images
-    assert all(len(r["payload"]) == 48 for r in out if r["error"] is None)
+    # output is a decodable 6x8 PNG (fake 1-D signals become 1xN gray)
+    assert all(
+        decode_png(bytes(r["payload"])).shape == (6, 8)
+        for r in out
+        if r["error"] is None
+    )
 
 
 def test_media_schema_roundtrip(spark, tmp_path):
