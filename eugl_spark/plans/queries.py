@@ -2407,6 +2407,222 @@ def corpus_upsample_epochs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier: logistic regression distilled from the
+# heuristic rule cascade (y = the qf_verdict keep label), expressed as
+# DataFrame supersteps — the fastText-style linear-classifier analog
+# of the north-star's model stages, trained IN the engine like the
+# k-means quantizer above. Cross-engine determinism recipe (proven by
+# ann_kmeans_*): features 6dp-rounded at construction, the dot product
+# a sequential index-order fold, per-step gradients round(avg, 6), and
+# weights re-rounded after each update; exp()'s last-ulp divergence
+# between libm and java.lang.Math is absorbed by the rounding.
+# ---------------------------------------------------------------------------
+
+# 6 steps at lr=8 reaches the converged decision boundary (accuracy
+# .798 / keep-F1 .699 vs the .766 / 0.0 all-drop majority baseline at
+# sf0.01); larger unrolls explode the ORACLE side — each p{i} CTE's
+# inlined expansion repeats `f`, so DuckDB planning cost grows
+# superlinearly (8 iters 0.3 s, 12 iters 28 s, 16 iters >150 s)
+_LC_ITERS = 6
+_LC_LR = 8.0
+_LC_NAMES = [
+    "bias",
+    "is_en",
+    "len_frac",
+    "symbol_ratio",
+    "words_frac",
+    "mean_word_len",
+    "dup_lines",
+    "stopword_frac",
+]
+_LC_NFEAT = len(_LC_NAMES)
+
+_LC_X_SQL = """[1.0,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END,
+    round(least(coalesce(nc, 0), 10000) / 10000.0, 6),
+    round(coalesce(symr, 0), 6),
+    round(least(coalesce(nw, 0), 2000) / 2000.0, 6),
+    round(coalesce(mwl, 0) / 10.0, 6),
+    round(coalesce(dupf, 0), 6),
+    round(coalesce(swf, 0), 6)]"""
+
+_LC_DOT_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_LC_NFEAT}),"
+    " j -> w.wv[j] * f.x[j]))"
+)
+
+
+def _lc_ctes() -> str:
+    """f (features+label) → w0 (zeros) → unrolled GD iterations,
+    ending at w{_LC_ITERS}."""
+    zeros = ", ".join(["0.0"] * _LC_NFEAT)
+    ctes = [
+        f""", f AS (
+      SELECT doc_id,
+        CASE WHEN ({_QF_REASON_SQL}) IS NULL THEN 1.0 ELSE 0.0 END AS y,
+        {_LC_X_SQL} AS x
+      FROM s
+    ), w0 AS (SELECT [{zeros}] AS wv)"""
+    ]
+    # LINEAR CTE chain: each w{i} is referenced exactly once (by
+    # p{i}, which carries wv through to the update) — referencing it
+    # twice (gradient + update) makes DuckDB inline the chain
+    # exponentially (2^iters plan blowup, measured as a >300 s hang
+    # at 8 iterations)
+    for i in range(_LC_ITERS):
+        ctes.append(f""", p{i} AS (
+      SELECT y, x, w.wv AS wv, 1.0 / (1.0 + exp(-({_LC_DOT_SQL}))) AS p
+      FROM f CROSS JOIN w{i} w
+    ), w{i + 1} AS (
+      SELECT list(wf ORDER BY pos) AS wv FROM (
+        SELECT pos, round(any_value(wv[pos])
+            + {_LC_LR} * round(avg((y - p) * x[pos]), 6), 6) AS wf
+        FROM p{i}, unnest(generate_series(1, {_LC_NFEAT})) AS t(pos)
+        GROUP BY pos)
+    )""")
+    return "".join(ctes)
+
+
+def _lc_features(spark, sf_dir) -> DataFrame:
+    df = _qf_frame(spark, sf_dir)
+    dbl = lambda c: F.coalesce(F.col(c).cast("double"), F.lit(0.0))  # noqa: E731
+    x = F.array(
+        F.lit(1.0),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0),
+        F.round(F.least(dbl("nc"), F.lit(10000.0)) / 10000.0, 6),
+        F.round(dbl("symr"), 6),
+        F.round(F.least(dbl("nw"), F.lit(2000.0)) / 2000.0, 6),
+        F.round(dbl("mwl") / 10.0, 6),
+        F.round(dbl("dupf"), 6),
+        F.round(dbl("swf"), 6),
+    )
+    return df.select(
+        "doc_id", F.col("keep").cast("double").alias("y"), x.alias("x")
+    )
+
+
+def _lc_dot(wv: Column) -> Column:
+    """Sequential index-order fold — the same summation order as
+    DuckDB's list_sum, so z is bit-identical before exp()."""
+    return F.aggregate(
+        F.zip_with(F.col("x"), wv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lc_train(feats: DataFrame) -> DataFrame:
+    """Full-batch GD as supersteps: broadcast the 1-row weight frame,
+    score, per-feature round(avg, 6) gradient (a {_LC_NFEAT}-row
+    shuffle), update, re-round, checkpoint. Model state is O(features)
+    however large the corpus — the k-means-centroid pattern."""
+    spark = feats.sparkSession
+    w = spark.createDataFrame([([0.0] * _LC_NFEAT,)], "wv array<double>")
+    for _ in range(_LC_ITERS):
+        p = (
+            feats.crossJoin(F.broadcast(w))
+            .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-_lc_dot(F.col("wv")))))
+        )
+        g = (
+            p.select(
+                "y",
+                "p",
+                "x",
+                F.explode(F.sequence(F.lit(1), F.lit(_LC_NFEAT))).alias("pos"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.avg(
+                        (F.col("y") - F.col("p"))
+                        * F.element_at("x", F.col("pos"))
+                    ),
+                    6,
+                ).alias("grad")
+            )
+        )
+        w = checkpoint_df(
+            g.crossJoin(F.broadcast(w))
+            .select(
+                "pos",
+                F.round(
+                    F.element_at("wv", F.col("pos")) + _LC_LR * F.col("grad"), 6
+                ).alias("wf"),
+            )
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "wf"))
+                ).alias("_pw")
+            )
+            .select(
+                F.transform("_pw", lambda s: s.getField("wf")).alias("wv")
+            )
+        )
+    return w
+
+
+_LC_NAMES_SQL = "[" + ", ".join(f"'{n}'" for n in _LC_NAMES) + "]"
+
+
+@q(
+    "qf_train_linear",
+    _QF_METRICS_SQL
+    + _lc_ctes()
+    + f"""
+    SELECT CAST(pos AS BIGINT) AS pos, {_LC_NAMES_SQL}[pos] AS feature,
+      wv[pos] AS weight
+    FROM w{_LC_ITERS}, unnest(generate_series(1, {_LC_NFEAT})) AS t(pos)
+    """,
+    "Trained quality classifier: logistic regression distilled from "
+    "the heuristic rule labels, full-batch GD as DataFrame supersteps "
+    "(broadcast weights, per-feature round(avg,6) gradients) — "
+    "returns the trained weight vector",
+)
+def qf_train_linear(spark, sf_dir):
+    w = _lc_train(_lc_features(spark, sf_dir))
+    names = F.array(*[F.lit(n) for n in _LC_NAMES])
+    return w.select(
+        F.posexplode("wv").alias("_p0", "weight"), names.alias("_names")
+    ).select(
+        (F.col("_p0") + 1).cast("long").alias("pos"),
+        F.element_at(F.col("_names"), F.col("_p0") + 1).alias("feature"),
+        "weight",
+    )
+
+
+@q(
+    "qf_linear_score",
+    _QF_METRICS_SQL
+    + _lc_ctes()
+    + f"""
+    SELECT f.doc_id, round(1.0 / (1.0 + exp(-({_LC_DOT_SQL}))), 6) AS score,
+      round(1.0 / (1.0 + exp(-({_LC_DOT_SQL}))), 6) >= 0.5 AS pred_keep,
+      f.y = 1.0 AS rule_keep
+    FROM f CROSS JOIN w{_LC_ITERS} w
+    """,
+    "Score every document with the trained linear classifier "
+    "(broadcast weight row, no shuffle) next to the rule-cascade "
+    "label it was distilled from",
+)
+def qf_linear_score(spark, sf_dir):
+    feats = _lc_features(spark, sf_dir)
+    w = _lc_train(feats)
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_lc_dot(F.col("wv")))), 6
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            score.alias("score"),
+            (score >= 0.5).alias("pred_keep"),
+            (F.col("y") == 1.0).alias("rule_keep"),
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common
 # subset of Java-regex / RE2 (the real one's `\s+(?!\S)` can't run in
 # DuckDB): contractions, space-prefixed letter runs, digit runs,

@@ -232,3 +232,30 @@ def test_mixture_budget_filter_skew_parity(spark):
     # hot source capped at 500 (not the flat default), cold at 3 docs
     assert (got.source == "hot").sum() == 500
     assert set(got[got.source != "hot"].groupby("source").size()) == {3}
+
+
+def test_linear_classifier_learns_beyond_majority(spark, sf_dir):
+    """The distilled logistic model must beat the all-drop majority
+    baseline (which scores keep-F1 = 0): the rule cascade's dominant
+    signals (is_en, length) are linearly recoverable."""
+    df = REGISTRY["qf_linear_score"].spark(spark, sf_dir).toPandas()
+    majority = max(df.rule_keep.mean(), 1 - df.rule_keep.mean())
+    acc = (df.pred_keep == df.rule_keep).mean()
+    tp = (df.pred_keep & df.rule_keep).sum()
+    fp = (df.pred_keep & ~df.rule_keep).sum()
+    fn = (~df.pred_keep & df.rule_keep).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert acc > majority
+    assert f1 >= 0.6
+    # scores are calibrated probabilities, not constants
+    assert df.score.between(0, 1).all() and df.score.nunique() > 10
+    # the weight vector exposes the learned structure: is_en must be
+    # the strongest positive signal (langid dominates the rule cascade)
+    w = (
+        REGISTRY["qf_train_linear"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .set_index("feature")
+    )
+    assert w.loc["is_en", "weight"] > 0
+    assert w.loc["is_en", "weight"] == w.weight.max()
