@@ -104,16 +104,24 @@ def capstone_sf1_dir(mult: int = 10) -> str:
     capstone's dedup/decontaminate/budget stages do representative
     work rather than clustering a synthetic 10-way dup explosion.
     """
-    out_dir = os.path.join(tempfile.gettempdir(), f"eugl_capstone_x{mult}")
-    dst = os.path.join(out_dir, "documents.parquet")
-    if os.path.exists(dst):
-        return out_dir
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # cache key includes the SOURCE row count (the sibling caches'
+    # staleness rule): a regenerated or re-pointed SF_DIR must not
+    # silently reuse an upscale of different data
+    src_n = pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).num_rows
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"eugl_capstone_x{mult}_{src_n}"
+    )
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return out_dir
+
     src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
     pdf = src.to_pandas()
-    n = len(pdf)
     parts = []
     for k in range(mult):
         rep = pdf.copy()

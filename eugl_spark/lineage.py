@@ -127,9 +127,18 @@ def _bucket_stats(
     run 1's rows — without the filter those stale rows would inflate
     run 2's n_input/n_kept.
     """
+    # mergeSchema: an out_dir first written by a pre-run_id version
+    # mixes files with and without the column; without merging, the
+    # inferred schema follows an arbitrary file and the filter can
+    # fail to resolve. Old-version rows surface as run_id NULL and are
+    # correctly excluded; a directory with no run_id column anywhere
+    # (pure old-version) keeps the legacy single-run semantics.
+    out = spark.read.option("mergeSchema", "true").parquet(_out_path(out_dir))
+    run_filter = (
+        (F.col("run_id") == run_id) if "run_id" in out.columns else F.lit(True)
+    )
     return (
-        spark.read.parquet(_out_path(out_dir))
-        .filter(F.col("bucket").isin(buckets) & (F.col("run_id") == run_id))
+        out.filter(F.col("bucket").isin(buckets) & run_filter)
         .select("bucket", "drop_reason", "keep")
         .groupBy("bucket", F.coalesce("drop_reason", F.lit("KEEP")).alias("reason"))
         .agg(

@@ -171,6 +171,14 @@ def extract_features(media: DataFrame, decode=real_decode) -> DataFrame:
                     sig = np.asarray(
                         decode(kind, bytes(payload), meta)
                     ).ravel()  # images arrive (H,W,C), audio (n,ch)
+                    if sig.size < FEATURE_DIM:
+                        # buckets past sig.size would pool an empty
+                        # slice into NaN with error=None — flag
+                        # instead, like sample_frames (M7)
+                        raise ValueError(
+                            f"signal of {sig.size} samples < "
+                            f"FEATURE_DIM={FEATURE_DIM}"
+                        )
                     # fixed-length pooled feature: FEATURE_DIM bucket means
                     k = max(1, sig.size // FEATURE_DIM)
                     pooled = [

@@ -428,11 +428,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # consumer re-runs scan+tokenize+shingle (checkpoint_df writes a
     # persisted table when a checkpoint dir is configured — the
     # 10^12-doc path — and executor-local blocks otherwise)
-    sh = _guard_quadratic(
-        checkpoint_df(_shingles(spark, sf_dir)),
+    # guard on the CHEAP documents scan (an upper bound on shingled
+    # docs) BEFORE tokenizing/shingling/materializing the corpus —
+    # refusing after the heavy linear stage would defeat the guard
+    _guard_quadratic(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
         "dedup_ngram_jaccard",
         "dedup_minhash_bands / dedup_clusters_lsh",
     )
+    sh = checkpoint_df(_shingles(spark, sf_dir))
     e = sh.select("doc_id", F.explode("sh").alias("s"))
     n = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
     common = (
@@ -2053,16 +2057,27 @@ def text_top_bigrams(spark, sf_dir):
 # (source), not the document — near-duplicates cluster within a host,
 # so a per-doc split would leak train content into eval. Deterministic
 # hash split via the md5-prefix trick (same integer in both engines).
-_SPLIT_HASH_SQL = (
-    "CAST(concat('0x', substring(md5(source), 1, 15)) AS BIGINT) % 100"
-)
+# ONE definition of the percent-hash recipe (15-hex-char prefix mod
+# 100), keyed per use: split/decontamination key by source, epoch
+# upsampling keys by doc_id.
+
+
+def _md5_pct_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT) % 100"
+
+
+def _md5_pct_col(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % 100
+
+
+_SPLIT_HASH_SQL = _md5_pct_sql("source")
 
 
 def _split_col():
     """The Spark twin of _SPLIT_HASH_SQL's CASE — the leakage-safety
     contract shared by the split and decontamination ops (single
     definition so the cut points / hash recipe can't desynchronize)."""
-    h = F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 100
+    h = _md5_pct_col(F.col("source"))
     return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
 
 
@@ -2244,10 +2259,14 @@ def _budget_filter(nt: DataFrame, n_buckets: int | None = None) -> DataFrame:
     )
 
 
-def _budget_sql(src: str) -> str:
-    """SQL twin of _budget_filter over a (doc_id, source, ntok) rel."""
+def _budget_sql(src: str, budget: str = str(_TOKEN_BUDGET)) -> str:
+    """SQL twin of _budget_filter over a (doc_id, source, ntok) rel.
+
+    `budget` is a constant or a per-source column of `src` — ONE
+    definition of the boundary rule for both the flat cap and the
+    mixture sampler."""
     return f"""SELECT doc_id, source, cum_tokens FROM (
-      SELECT doc_id, source,
+      SELECT doc_id, source, {budget} AS _cap,
         CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS BIGINT) AS cum_tokens,
@@ -2255,7 +2274,7 @@ def _budget_sql(src: str) -> str:
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           AS BIGINT) AS before_tokens
       FROM {src})
-    WHERE before_tokens < {_TOKEN_BUDGET}"""
+    WHERE before_tokens < _cap"""
 
 
 @q(
@@ -2298,12 +2317,9 @@ _MIX_REL_SQL = (
     " AS INT) % 4 + 1, 1)"
 )
 
-# fractional-epoch membership: md5-prefix hash of the doc id, same
-# integer in both engines (the _SPLIT_HASH_SQL trick, keyed by doc)
-_DOC_HASH_SQL = (
-    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
-    " AS BIGINT) % 100"
-)
+# fractional-epoch membership: the shared percent-hash recipe, keyed
+# by the doc id
+_DOC_HASH_SQL = _md5_pct_sql("CAST(doc_id AS VARCHAR)")
 
 
 def _mix_rel_col():
@@ -2319,12 +2335,7 @@ def _mix_rel_col():
 
 def _doc_hash_col():
     """Spark twin of _DOC_HASH_SQL: deterministic per-doc percent."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 100
-    )
+    return _md5_pct_col(F.col("doc_id").cast("string"))
 
 
 @q(
@@ -2336,16 +2347,7 @@ def _doc_hash_col():
         {_MIX_REL_SQL} * {_MIX_UNIT} AS budget
       FROM documents WHERE text IS NOT NULL
     )
-    SELECT doc_id, source, cum_tokens FROM (
-      SELECT doc_id, source, budget,
-        CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS BIGINT) AS cum_tokens,
-        CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS BIGINT) AS before_tokens
-      FROM ntb)
-    WHERE before_tokens < budget
+    {_budget_sql("ntb", "budget")}
     """,
     "Training-data op: mixture sampling — per-source token budget = "
     "mixture weight x unit (not one flat cap); same two-phase "
@@ -2516,7 +2518,11 @@ def _lc_train(feats: DataFrame) -> DataFrame:
     """Full-batch GD as supersteps: broadcast the 1-row weight frame,
     score, per-feature round(avg, 6) gradient (a {_LC_NFEAT}-row
     shuffle), update, re-round, checkpoint. Model state is O(features)
-    however large the corpus — the k-means-centroid pattern."""
+    however large the corpus — the k-means-centroid pattern.
+
+    Pass a checkpoint_df'd feature frame: every iteration consumes it
+    once, and un-materialized it would re-run the scan + tokenizer +
+    heuristic metrics per superstep."""
     spark = feats.sparkSession
     w = spark.createDataFrame([([0.0] * _LC_NFEAT,)], "wv array<double>")
     for _ in range(_LC_ITERS):
@@ -2581,7 +2587,7 @@ _LC_NAMES_SQL = "[" + ", ".join(f"'{n}'" for n in _LC_NAMES) + "]"
     "returns the trained weight vector",
 )
 def qf_train_linear(spark, sf_dir):
-    w = _lc_train(_lc_features(spark, sf_dir))
+    w = _lc_train(checkpoint_df(_lc_features(spark, sf_dir)))
     names = F.array(*[F.lit(n) for n in _LC_NAMES])
     return w.select(
         F.posexplode("wv").alias("_p0", "weight"), names.alias("_names")
@@ -2607,7 +2613,7 @@ def qf_train_linear(spark, sf_dir):
     "label it was distilled from",
 )
 def qf_linear_score(spark, sf_dir):
-    feats = _lc_features(spark, sf_dir)
+    feats = checkpoint_df(_lc_features(spark, sf_dir))
     w = _lc_train(feats)
     score = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-_lc_dot(F.col("wv")))), 6
@@ -3053,25 +3059,44 @@ def _kmeans_centroids(
         return centroids
     for _ in range(max_iters):
         new = checkpoint_df(_kmeans_update(_kmeans_assign(emb, centroids)))
-        shift = (
-            centroids.select("cell", F.col("cvec").alias("old_cvec"))
-            .join(new, "cell")
-            .select(
+        shift = _centroid_shift(centroids, new)
+        centroids = new
+        if shift is not None and shift < tol:
+            break
+    return centroids
+
+
+def _centroid_shift(old: DataFrame, new: DataFrame) -> float | None:
+    """Summed squared centroid movement between two (cell, cvec)
+    frames — the tol-mode convergence probe.
+
+    FULL outer join: _kmeans_update drops cells whose membership
+    emptied, and an inner join would exclude exactly those cells from
+    the shift — declaring convergence while the centroid SET is still
+    changing. A vanished (or appearing) cell contributes a sentinel
+    shift far above any tol."""
+    return (
+        old.select("cell", F.col("cvec").alias("old_cvec"))
+        .join(new, "cell", "full_outer")
+        .select(
+            F.when(
+                F.col("old_cvec").isNull() | F.col("cvec").isNull(),
+                F.lit(1.0e18),
+            )
+            .otherwise(
                 F.aggregate(
                     F.zip_with(
                         "old_cvec", "cvec", lambda a, b: (a - b) * (a - b)
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                ).alias("d2")
+                )
             )
-            .agg(F.sum("d2"))
-            .collect()[0][0]
+            .alias("d2")
         )
-        centroids = new
-        if shift is not None and shift < tol:
-            break
-    return centroids
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
 
 
 @q(

@@ -175,3 +175,18 @@ def test_resize_images_real_mode_roundtrip(spark):
         want = codecs.resize_nearest(srcs[row.media_id], 5, 4)
         assert np.array_equal(dec, want), row.media_id
         assert metas[row.media_id] is not None
+
+
+def test_tiny_media_is_error_row_not_nan(spark):
+    """A validly-decodable signal shorter than FEATURE_DIM must become
+    an error row — never feature=[..., NaN] with error=None."""
+    from eugl_spark.codecs import encode_png
+    from eugl_spark.multimodal import MEDIA_SCHEMA, extract_features
+
+    tiny = encode_png(np.zeros((2, 2), np.uint8))  # 4 samples < 8
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(tiny), (2, 2, None, "png"))], MEDIA_SCHEMA
+    )
+    row = extract_features(media).collect()[0]
+    assert row["feature"] is None
+    assert row["error"] and "FEATURE_DIM" in row["error"]

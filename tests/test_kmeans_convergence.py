@@ -45,3 +45,25 @@ def test_fixed_mode_unchanged_by_new_signature(spark, sf_dir):
     a = _kmeans_centroids(emb).toPandas().sort_values("cell")
     b = _kmeans_centroids(emb, iters=2).toPandas().sort_values("cell")
     assert [tuple(v) for v in a.cvec] == [tuple(v) for v in b.cvec]
+
+
+def test_centroid_shift_counts_vanished_cells(spark):
+    """A cell that loses all members must register as a huge shift,
+    not silently drop out of the convergence probe (inner-join bug)."""
+    from eugl_spark.plans.queries import _centroid_shift
+
+    old = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "cell int, cvec array<double>"
+    )
+    same = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "cell int, cvec array<double>"
+    )
+    assert _centroid_shift(old, same) == 0.0
+    moved = spark.createDataFrame(
+        [(0, [0.5, 0.0]), (1, [1.0, 1.0])], "cell int, cvec array<double>"
+    )
+    assert abs(_centroid_shift(old, moved) - 0.25) < 1e-12
+    vanished = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cell int, cvec array<double>"
+    )
+    assert _centroid_shift(old, vanished) >= 1.0e18

@@ -139,3 +139,29 @@ def test_lineage_report(spark, pages, tmp_path):
     assert ok[0]["n_input"] == pages.count()
     assert ok[0]["n_kept"] + ok[0]["n_dropped"] == ok[0]["n_input"]
     assert ok[0]["last_finished_at"] is not None
+
+
+def test_counters_survive_pre_run_id_output_files(spark, pages, tmp_path):
+    """An out_dir first written by a pre-run_id version mixes files
+    with and without the column; the read-back must mergeSchema (old
+    rows surface as run_id NULL and are excluded) instead of failing
+    on an unresolvable column or silently counting stale rows."""
+    from eugl_spark.lineage import _bucket_stats, _out_path
+
+    out = str(tmp_path / "o")
+    run_with_resume(spark, pages, out, run_id="r1")
+    n_r1 = pages.count()
+    # simulate a legacy directory: rewrite bucket files WITHOUT run_id
+    # (materialize first — overwriting a lazily-read source deletes
+    # the files mid-scan)
+    legacy_df = spark.read.parquet(_out_path(out)).drop("run_id")
+    legacy = spark.createDataFrame(legacy_df.toPandas(), legacy_df.schema)
+    legacy.write.mode("overwrite").partitionBy("bucket").parquet(_out_path(out))
+    # a new run over a half-sized input appends run_id-bearing files
+    subset = pages.filter(F.col("url").isNotNull()).limit(40)
+    run_with_resume(spark, subset, out, run_id="r2")
+    all_buckets = list(range(C.N_BUCKETS))
+    stats = _bucket_stats(spark, out, all_buckets, "r2").collect()
+    n_r2 = sum(r["n"] for r in stats)
+    # only run-2 rows counted; legacy (null run_id) rows excluded
+    assert 0 < n_r2 <= 40 < n_r1
