@@ -2053,6 +2053,116 @@ def text_top_bigrams(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-composition statistics: the curation dashboard numbers a
+# training-mix owner reads before sampling — host concentration (is
+# one crawl dominating?) and per-source characteristic terms.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_host_diversity",
+    """
+    WITH per AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, source) AS i,
+        count(*) OVER () AS k, sum(n) OVER () AS tot
+      FROM per
+    )
+    SELECT CAST(any_value(k) AS BIGINT) AS n_sources,
+      CAST(sum(n) AS BIGINT) AS n_docs,
+      round(max(n) / CAST(any_value(tot) AS DOUBLE), 6) AS top_share,
+      round(2.0 * sum(i * n) / (any_value(k) * CAST(any_value(tot) AS DOUBLE))
+        - (any_value(k) + 1.0) / any_value(k), 6) AS gini
+    FROM ranked
+    """,
+    "Corpus stats: host-concentration summary — source count, largest "
+    "source's share, and the Gini coefficient of docs-per-source "
+    "(0 = perfectly balanced mix, 1 = one crawl dominates). The "
+    "partition-less window runs over the per-SOURCE aggregate "
+    "(|hosts| rows, not |docs|); at 10^8+ hosts reuse the two-phase "
+    "prefix-sum pattern of _budget_filter",
+)
+def corpus_host_diversity(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = W.partitionBy()
+    ranked = per.select(
+        "n",
+        F.row_number().over(W.orderBy("n", "source")).alias("i"),
+        F.count("*").over(wall).alias("k"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    k = F.any_value(F.col("k"))
+    tot = F.any_value(F.col("tot")).cast("double")
+    return ranked.agg(
+        k.cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.round(F.max("n") / tot, 6).alias("top_share"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n")) / (k * tot)
+            - (k + 1.0) / k,
+            6,
+        ).alias("gini"),
+    )
+
+
+_TFIDF_K = 5
+
+
+@q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT source, t, count(*) AS tf FROM (
+        SELECT source, unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS t
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY source, t
+    ), df AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), k AS (SELECT count(DISTINCT source) AS ns FROM tf)
+    SELECT source, t AS term, rank FROM (
+      SELECT tf.source, tf.t,
+        row_number() OVER (PARTITION BY tf.source
+          ORDER BY round(tf.tf * ln((k.ns + 1.0) / (df.df + 1.0)), 6) DESC,
+                   tf.t) AS rank
+      FROM tf JOIN df ON df.t = tf.t CROSS JOIN k)
+    WHERE rank <= {_TFIDF_K}
+    """,
+    "Corpus stats: per-source characteristic terms by tf-idf "
+    "(smoothed idf over sources as 'documents'); df computed on the "
+    "(source, term) aggregate — one shuffle each for tf, df and the "
+    "per-source top-k window",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    tf = (
+        docs.select("source", F.explode(H.tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    ns = tf.select(F.countDistinct("source").alias("ns"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("ns") + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    w = W.partitionBy("source").orderBy(score.desc(), F.col("t"))
+    return (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(ns))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("source", F.col("t").alias("term"), "rank")
+    )
+
+
 # Leakage-safe dataset split: the unit of assignment is the HOST
 # (source), not the document — near-duplicates cluster within a host,
 # so a per-doc split would leak train content into eval. Deterministic
