@@ -176,16 +176,10 @@ def run_with_resume(
     # ride the job itself, no second pass over the data.
     from pyspark.sql import Observation
 
-    obs = Observation(f"qa_counters_{run_id}")
     # run_id rides the output (a constant dictionary-encoded column):
     # it is the provenance key that makes counter read-back and
     # debugging exact per run when an out_dir is reused
-    labeled = apply_pipeline(pages).withColumn("run_id", F.lit(run_id)).observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum(F.length("scrubbed_text")).alias("scrubbed_bytes"),
-    )
+    labeled = apply_pipeline(pages).withColumn("run_id", F.lit(run_id))
 
     batches = (
         [todo]
@@ -196,8 +190,23 @@ def run_with_resume(
         ]
     )
     written = failed = 0
-    for batch in batches:
-        subset = labeled.filter(F.col("bucket").isin(batch))
+    # one Observation PER BATCH: an Observation captures metrics from
+    # the FIRST action on its plan only (subsequent actions never
+    # update it), so a single run-level observation would report just
+    # batch 1's slice when buckets_per_batch > 0. Read only after a
+    # successful write — a failed action completes the observation
+    # from partial accumulators.
+    counters: dict[str, int] = {}
+    for bi, batch in enumerate(batches):
+        obs = Observation(f"qa_counters_{run_id}_{bi}")
+        subset = labeled.filter(F.col("bucket").isin(batch)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            # octet_length: bytes, not chars — multibyte text made
+            # F.length under-report the actual scrubbed volume
+            F.sum(F.octet_length("scrubbed_text")).alias("scrubbed_bytes"),
+        )
         try:
             if fail_on_bucket is not None and fail_on_bucket in batch:
                 raise RuntimeError(f"injected failure on bucket {fail_on_bucket}")
@@ -242,6 +251,8 @@ def run_with_resume(
             ]
             _append_lineage(spark, out_dir, rows)
             written += len(batch)
+            for k, v in obs.get.items():
+                counters[k] = counters.get(k, 0) + (v or 0)
         except Exception as e:  # noqa: BLE001 — always-write-lineage pattern
             _append_lineage(
                 spark,
@@ -263,8 +274,6 @@ def run_with_resume(
             if fail_on_bucket is not None:
                 raise
     result = {"written": written, "skipped": len(done), "failed": failed}
-    try:  # observed metrics cover rows that flowed through this run
-        result["counters"] = obs.get
-    except Exception:
-        pass
+    if counters:  # observed metrics summed over successful batches
+        result["counters"] = counters
     return result

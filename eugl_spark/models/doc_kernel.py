@@ -69,6 +69,15 @@ def _word_code(w: str) -> int:
 
 
 def _encode_vocab() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    # _word_code truncates at _WORD_K digits while the document side
+    # marks longer tokens non-vocab (code = -1): a vocabulary word
+    # over the cap would silently encode as its prefix and never match
+    # (or collide with a real K-char word) — fail fast at model load
+    too_long = [w for w in _GIDX if len(w) > _WORD_K]
+    assert not too_long, (
+        f"vocabulary words exceed _WORD_K={_WORD_K} chars: {too_long[:5]} "
+        "— raise _WORD_K (and re-verify int64 headroom: 27^K)"
+    )
     items = sorted((_word_code(w), gid) for w, gid in _GIDX.items())
     codes = np.asarray([c for c, _ in items], dtype=np.int64)
     gids = np.asarray([g for _, g in items], dtype=np.int64)
@@ -254,8 +263,7 @@ def _model_stage(tok_strs: list[str]) -> dict[str, np.ndarray]:
         + _CHARMAP[buf[2:]]
     )
     bits = _LUT[codes3]
-    starts = np.zeros(n_docs, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
+    starts = doc_starts  # same cumsum-of-lens boundaries as the word pass
     n_grams = np.maximum(lens - 2, 0)
     counts = np.zeros((len(C.LANGS), n_docs), dtype=np.int64)
     for i in range(len(C.LANGS)):

@@ -122,21 +122,23 @@ def connected_components_star(
     confirming round makes a coincidence harmless — a converged edge
     set is a fixpoint of both stars, so an extra round is free).
     """
-    canon = (
-        pairs.select(
-            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
-            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    directed = pairs.select(
+        F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+        F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
     )
-    canon = checkpoint_df(canon)
+    # nodes derive from the UNFILTERED pairs: a doc appearing only in
+    # self-pairs (u == v) has no edges but is still a node and must
+    # surface as its own singleton cluster — the minlabel twin does,
+    # and the two implementations promise the same contract
     nodes = (
-        canon.select(F.col("u").alias("doc_id"))
-        .union(canon.select(F.col("v").alias("doc_id")))
+        directed.select(F.col("u").alias("doc_id"))
+        .union(directed.select(F.col("v").alias("doc_id")))
         .distinct()
     )
     nodes = checkpoint_df(nodes)
+    canon = checkpoint_df(
+        directed.filter(F.col("u") != F.col("v")).distinct()
+    )
 
     def sig(e: DataFrame):
         r = e.agg(

@@ -160,7 +160,13 @@ def apply_pipeline(
         ).alias("langid"),
         F.struct(k.getField("avg_nll").alias("avg_nll")).alias("perplexity"),
         F.struct(
-            (~te.eqNullSafe(k.getField("scrubbed_text"))).alias("changed")
+            # empty text scrubs to itself: the kernel leaves
+            # scrubbed_text null for '' (nothing to scrub), and a bare
+            # ~eqNullSafe would count that as a change — inflating
+            # per-host scrub rates for boilerplate-stripped pages
+            F.when(te.isNull() | (te == ""), F.lit(False))
+            .otherwise(~te.eqNullSafe(k.getField("scrubbed_text")))
+            .alias("changed")
         ).alias("scrub"),
     )
 

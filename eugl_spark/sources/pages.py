@@ -16,8 +16,21 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from eugl_spark.streaming.stream import PAGES_SCHEMA
+# THE canonical pages-table schema (BASELINE.json input_hint). Defined
+# in the batch source layer; the streaming module imports it from
+# here — not the reverse, which made every batch read transitively
+# load the streaming surface.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -65,8 +65,13 @@ def _update(
 
 def host_quality_state(labeled_stream: DataFrame) -> DataFrame:
     """labeled pipeline stream → running per-host counters (update mode)."""
+    from eugl_spark.pipeline import host
+
+    # pipeline.host() is the canonical url→host expression — a private
+    # re-derivation here would fragment per-host state the moment host
+    # canonicalization changes
     keyed = labeled_stream.select(
-        F.try_parse_url("url", F.lit("HOST")).alias("host"),
+        host(F.col("url")).alias("host"),
         F.col("keep"),
         F.col("qa.scrub.changed").alias("scrub_changed"),
     )

@@ -16,20 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from eugl_spark.pipeline import apply_pipeline, host
 
-PAGES_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ]
-)
+# canonical schema lives in the batch source layer; re-exported here
+# so pre-move imports keep working
+from eugl_spark.sources.pages import PAGES_SCHEMA  # noqa: F401
 
 
 def stream_pipeline(

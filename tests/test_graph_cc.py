@@ -80,3 +80,22 @@ def test_star_equals_minlabel_on_disjoint_components(spark):
     a, _ = _run(spark, connected_components_minlabel, pairs)
     b, _ = _run(spark, connected_components_star, pairs)
     assert a == b
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    """A doc appearing only in self-pairs has no edges but IS a node:
+    both CC implementations must emit it as a singleton cluster."""
+    from eugl_spark.operators.graph import (
+        connected_components_minlabel,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    for fn in (connected_components_minlabel, connected_components_star):
+        got = {
+            r["doc_id"]: r["cluster"] for r in fn(pairs).collect()
+        }
+        assert got.get(5) == 5, (fn.__name__, got)
+        assert got.get(1) == got.get(2) == 1, (fn.__name__, got)

@@ -165,3 +165,15 @@ def test_counters_survive_pre_run_id_output_files(spark, pages, tmp_path):
     n_r2 = sum(r["n"] for r in stats)
     # only run-2 rows counted; legacy (null run_id) rows excluded
     assert 0 < n_r2 <= 40 < n_r1
+
+
+def test_counters_sum_over_all_batches(spark, pages, tmp_path):
+    """An Observation captures only the FIRST action on its plan, so
+    multi-batch runs need one per batch, summed — a single run-level
+    observation reported just batch 1's slice."""
+    out = str(tmp_path / "multibatch")
+    res = run_with_resume(
+        spark, pages, out, run_id="r1", buckets_per_batch=16
+    )
+    assert res["counters"]["n_docs"] == pages.count()
+    assert 0 < res["counters"]["n_kept"] <= res["counters"]["n_docs"]
