@@ -50,7 +50,11 @@ def q(name: str, sql: Optional[str], doc: str = ""):
 
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in C.EN_STOPWORDS) + ")"
-_SYM_SQL = r"[^A-Za-z0-9\s]"
+# \x0B is explicit: Java/Python \s includes vertical tab, RE2's does
+# not — without it DuckDB counts \x0B as a symbol and symbol_ratio
+# diverges from the engine on control-char pages (caught by the
+# pathological corpus; same trap as _BPE_RE's _WS_CLS)
+_SYM_SQL = r"[^A-Za-z0-9\s\x0B]"
 _TOK_SQL = "[a-z]+"
 
 

@@ -192,6 +192,11 @@ _DOC_QUERIES = [
     "dedup_clusters_lsh",
     "corpus_token_budget",
     "text_bpe_token_stats",
+    "corpus_mixture_sample",
+    "corpus_upsample_epochs",
+    "corpus_host_diversity",
+    "text_tfidf_top_terms",
+    "qf_linear_score",
 ]
 
 
