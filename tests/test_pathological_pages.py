@@ -190,30 +190,63 @@ _DOC_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
     "corpus_token_budget",
     "text_bpe_token_stats",
     "corpus_mixture_sample",
     "corpus_upsample_epochs",
     "corpus_host_diversity",
     "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "qf_verdict",
+    "qf_token_stats",
+    "qf_fingerprint",
     "qf_linear_score",
+    "split_train_val_test",
+    "decontaminate_train",
+    "udf_langid_documents",
+    "udf_perplexity_documents",
 ]
 
 
 @pytest.fixture(scope="module")
 def patho_docs_dir(tmp_path_factory) -> str:
-    d = str(tmp_path_factory.mktemp("patho_docs"))
+    return _write_patho_docs(tmp_path_factory, _DOC_TEXTS, "patho_docs")
+
+
+# the SQL model oracles (langid trigram LUT, perplexity bigrams)
+# re-derive the models as million-element list ops in DuckDB — on the
+# 1 MB doc that single ORACLE query costs ~7 min (the numpy kernel
+# side is <1 s). Those two queries run on a twin corpus whose huge doc
+# is trimmed to 100 KB: every hard CASE survives, only the
+# oracle-side scale grind goes.
+_MODEL_ORACLE_QUERIES = {"udf_langid_documents", "udf_perplexity_documents"}
+_DOC_TEXTS_SMALL = [
+    (i, t if (t is None or len(t) <= 100_000) else t[:100_000])
+    for i, t in _DOC_TEXTS
+]
+
+
+@pytest.fixture(scope="module")
+def patho_docs_small_dir(tmp_path_factory) -> str:
+    return _write_patho_docs(
+        tmp_path_factory, _DOC_TEXTS_SMALL, "patho_docs_small"
+    )
+
+
+def _write_patho_docs(tmp_path_factory, texts, name) -> str:
+    d = str(tmp_path_factory.mktemp(name))
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array([i for i, _ in _DOC_TEXTS], pa.int64()),
-                "text": pa.array([t for _, t in _DOC_TEXTS], pa.string()),
-                "lang": pa.array(["en"] * len(_DOC_TEXTS), pa.string()),
+                "doc_id": pa.array([i for i, _ in texts], pa.int64()),
+                "text": pa.array([t for _, t in texts], pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
                 "source": pa.array(
-                    [f"s{i % 3}" for i, _ in _DOC_TEXTS], pa.string()
+                    [f"s{i % 3}" for i, _ in texts], pa.string()
                 ),
                 "n_chars": pa.array(
-                    [len(t) if t else 0 for _, t in _DOC_TEXTS], pa.int64()
+                    [len(t) if t else 0 for _, t in texts], pa.int64()
                 ),
             }
         ),
@@ -223,15 +256,19 @@ def patho_docs_dir(tmp_path_factory) -> str:
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
-def test_dedup_family_on_pathological_docs(spark, patho_docs_dir, name):
+def test_dedup_family_on_pathological_docs(
+    spark, patho_docs_dir, patho_docs_small_dir, name
+):
     q = REGISTRY[name]
     assert q.sql, f"{name} has no oracle SQL"
+    d = (
+        patho_docs_small_dir
+        if name in _MODEL_ORACLE_QUERIES
+        else patho_docs_dir
+    )
     con = duckdb.connect()
     con.sql(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{patho_docs_dir}/documents.parquet'"
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
     )
-    res = compare_frames(
-        q.spark(spark, patho_docs_dir).toPandas(), con.sql(q.sql).df()
-    )
+    res = compare_frames(q.spark(spark, d).toPandas(), con.sql(q.sql).df())
     assert res["values_match"], (name, res["diff"])
