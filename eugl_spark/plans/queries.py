@@ -673,7 +673,8 @@ def ann_topk_bruteforce(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND {_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')})
+      AND {_DOT_SQL}
+          / nullif({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}, 0)
           >= 0.4
     """,
     "Embedding-cosine near-dup pair detection (threshold join)",
@@ -694,8 +695,14 @@ def ann_cosine_pairs(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            # try_divide + nullif twin: a zero-norm vector has no
+            # defined cosine — both engines emit NULL and the
+            # threshold drops the pair (plain / ABORTS the whole job
+            # under ANSI on the first zero vector in the corpus)
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")),
+                _norm(F.col("va")) * _norm(F.col("vb")),
+            ),
         )
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b")
