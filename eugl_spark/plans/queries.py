@@ -809,18 +809,26 @@ def events_asof_last_view(spark, sf_dir):
     WITH g AS (
       SELECT user_id,
         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+          > 1800000000
+          OR lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS FIRST, event_id) IS NULL
         THEN 1 ELSE 0 END AS new_s
       FROM events)
     SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
     FROM g GROUP BY user_id
     """,
-    "Sessionization: lag + gap>30min session starts per user",
+    "Sessionization: lag + gap>30min session starts per user "
+    "(NULLS FIRST pinned: Spark's ASC default, not DuckDB's)",
 )
 def events_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_first EXPLICIT: it is Spark's ASC default but DuckDB
+    # defaults to NULLS LAST — a null-ts event otherwise changes
+    # sides of the partition and every lag() after it diverges
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = ts_us - F.lag(ts_us).over(w)
     new_s = F.when(
@@ -854,17 +862,26 @@ def events_hourly_agg(spark, sf_dir):
     "events_json_extract",
     """
     SELECT event_type,
-      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        AS sum_k,
+      CAST(sum(TRY_CAST(
+        CASE WHEN json_valid(props)
+             THEN json_extract_string(props, '$.k') END
+        AS BIGINT)) AS BIGINT) AS sum_k,
       count(*) AS n
     FROM events GROUP BY event_type
     """,
-    "C-family: JSON field extraction + agg (semi-structured props)",
+    "C-family: JSON field extraction + agg (semi-structured props; "
+    "malformed JSON and non-integer values contribute NULL in both "
+    "engines — get_json_object is tolerant, DuckDB needs "
+    "json_valid + TRY_CAST)",
 )
 def events_json_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # try_cast: $.k can hold a nested object/string — a plain cast
+    # ABORTS the job under ANSI on the first non-integer value
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.sum(
+            F.get_json_object("props", "$.k").try_cast("long")
+        ).alias("sum_k"),
         F.count("*").alias("n"),
     )
 
@@ -874,7 +891,8 @@ def events_json_extract(spark, sf_dir):
     """
     WITH t AS (
       SELECT event_type AS curr,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id)
           AS prev
       FROM events)
     SELECT prev, curr, count(*) AS n FROM t
@@ -884,7 +902,10 @@ def events_json_extract(spark, sf_dir):
 )
 def events_transition_matrix(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST explicit — see events_sessionize
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     return (
         ev.withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNotNull())
