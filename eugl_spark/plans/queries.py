@@ -1078,12 +1078,22 @@ def _sigma_clip_rounds(li, n_sigma: float, iterations: int) -> DataFrame:
             F.count("*").alias("n"),
         )
         mu = F.col("s") / F.col("n")
+        # singleton group: n-1 = 0 ABORTS the job under ANSI — define
+        # sigma = 0 (the lone value is its own mean, it survives).
+        # greatest(..., 0): an all-equal group's variance can come out
+        # as a tiny NEGATIVE float residue, and DuckDB's sqrt ERRORS
+        # on negatives (Java's returns NaN) — clamp on both sides.
+        var = F.try_divide(
+            F.col("ss") - F.col("n") * mu * mu, F.col("n") - 1
+        )
         bounds = stats.select(
             "l_returnflag",
             mu.alias("mu"),
-            F.sqrt(
-                (F.col("ss") - F.col("n") * mu * mu) / (F.col("n") - 1)
-            ).alias("sigma"),
+            F.when(
+                F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sigma"),
         )
         cur = (
             cur.join(F.broadcast(bounds), "l_returnflag")
@@ -1107,7 +1117,8 @@ def _sigma_clip_sql(iterations: int) -> str:
       FROM {src} GROUP BY l_returnflag
     ), b{i} AS (
       SELECT l_returnflag, s / n AS mu,
-        sqrt((ss - n * (s / n) * (s / n)) / (n - 1)) AS sigma
+        CASE WHEN n > 1 THEN sqrt(greatest(
+          (ss - n * (s / n) * (s / n)) / (n - 1), 0)) ELSE 0 END AS sigma
       FROM s{i}
     ), f{i} AS (
       SELECT l.l_returnflag, l.l_quantity
@@ -1362,7 +1373,10 @@ def union_priority_counts(spark, sf_dir):
     SELECT o_orderkey,
       CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS priority_num,
       lower(replace(trim(o_orderpriority), ' ', '_')) AS priority_slug,
-      concat('Clerk#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS clerk_id,
+      -- || not concat: DuckDB's concat() IGNORES nulls ('Clerk#' for
+      -- a null custkey) while Spark's propagates them; || propagates
+      -- in both engines
+      'Clerk#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS clerk_id,
       strftime(o_orderdate, '%Y%j') AS julian,
       strftime(make_date(CAST(substring(strftime(o_orderdate, '%Y%j'), 1, 4) AS INT), 1, 1)
         + ((CAST(substring(strftime(o_orderdate, '%Y%j'), 5, 3) AS INT) - 1) * INTERVAL 1 DAY),
