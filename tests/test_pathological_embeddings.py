@@ -63,6 +63,7 @@ _EMB_QUERIES = [
     "ann_kmeans_topk",
     "ann_knn_label_vote",
     "dedup_embedding_clusters",
+    "embedding_stats",
 ]
 
 

@@ -206,6 +206,12 @@ _DOC_QUERIES = [
     "decontaminate_train",
     "udf_langid_documents",
     "udf_perplexity_documents",
+    "qf_scrub",
+    "qf_drop_reason_dist",
+    "qf_keep_rate_by_source",
+    "qf_quality_score",
+    "qf_train_linear",
+    "pipeline_docs_verdict",
 ]
 
 
@@ -220,7 +226,15 @@ def patho_docs_dir(tmp_path_factory) -> str:
 # side is <1 s). Those two queries run on a twin corpus whose huge doc
 # is trimmed to 100 KB: every hard CASE survives, only the
 # oracle-side scale grind goes.
-_MODEL_ORACLE_QUERIES = {"udf_langid_documents", "udf_perplexity_documents"}
+_MODEL_ORACLE_QUERIES = {
+    "udf_langid_documents",
+    "udf_perplexity_documents",
+    "pipeline_docs_verdict",  # embeds both SQL models in its oracle
+    # DuckDB's chained regexp_replace costs ~3 min on the 1 MB doc;
+    # scrub-at-scale byte identity is pinned by the PIPELINE
+    # pathological test (Python oracle, full 10 MB doc)
+    "qf_scrub",
+}
 _DOC_TEXTS_SMALL = [
     (i, t if (t is None or len(t) <= 100_000) else t[:100_000])
     for i, t in _DOC_TEXTS

@@ -162,6 +162,10 @@ _REL_QUERIES = [
     "window_running_total",
     "scalar_suite_orders",
     "left_join_default_region",
+    "cube_lineitem_qty",
+    "pivot_status_qty",
+    "range_join_price_bands",
+    "rollup_order_revenue",
 ]
 
 
