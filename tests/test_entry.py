@@ -31,3 +31,48 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# The driver's correctness gate snapshots the first 50 registrations,
+# so dict order is an external contract: every family flagship — the
+# late-registered dedup/ANN/training/corpus capstones especially —
+# must sit inside that window (VERDICT r3 "Next round" #1).
+FLAGSHIPS = [
+    "qf_verdict",
+    "qf_scrub",
+    "pipeline_docs_verdict",
+    "pipeline_full_corpus",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_embedding_clusters",
+    "ann_topk_bruteforce",
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
+    "ann_kmeans_cells",
+    "ann_kmeans_topk",
+    "qf_train_linear",
+    "qf_linear_score",
+    "corpus_token_budget",
+    "corpus_mixture_sample",
+    "corpus_upsample_epochs",
+    "decontaminate_train",
+    "split_train_val_test",
+    "text_bpe_token_stats",
+    "text_tfidf_top_terms",
+    "corpus_host_diversity",
+    "corpus_build_train",
+    "events_asof_last_view",
+    "sigma_clip_quantity",
+    "udf_langid_documents",
+    "udf_perplexity_documents",
+]
+
+
+def test_flagships_inside_snapshot_window():
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    missing = [f for f in FLAGSHIPS if f not in window]
+    assert not missing, f"flagships outside the driver's first-50: {missing}"
