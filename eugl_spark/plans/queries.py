@@ -3408,27 +3408,33 @@ def dedup_clusters_lsh(spark, sf_dir):
     # jaccard-1.0 cliques, and cluster = min(doc_id) survives because
     # each rep IS its group's min. Size-1 sets can never pass the
     # c >= 2 floor against anything, so they exit here (as before).
-    # ONE window shuffle assigns every member its group-min rep and
-    # group size (no groupBy+join back, no separate semi-join); the
-    # single `tagged` materialization serves both the slim membership
-    # frame and the rep shingle sets as free column-pruned filters
-    wk = W.partitionBy("k")
-    tagged = checkpoint_df(
-        sh.filter(F.size("sh") >= 2)
-        .withColumn(
+    # groupBy, NOT a window: a window partitionBy(k) would carry the
+    # fat `sh` array through the exchange once per MEMBER row (plus a
+    # per-partition sort), exactly the families the collapse exists
+    # for. groupBy gets map-side partial aggregation — a boilerplate
+    # family collapses to one row per input partition BEFORE the
+    # exchange, and only group rows cross the wire. min_by picks the
+    # rep's own shingle array deterministically (all arrays in a group
+    # are set-equal; minhash/array_intersect are order-insensitive,
+    # but determinism is part of the oracle contract). Membership is
+    # recovered with a slim (doc_id, k) ⋈ (k, rep, n_members) join —
+    # no sh column crosses that exchange.
+    keyed = checkpoint_df(
+        sh.filter(F.size("sh") >= 2).withColumn(
             "k", F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256)
         )
-        .select(
-            "doc_id",
-            "sh",
-            F.min("doc_id").over(wk).alias("rep"),
-            F.count("*").over(wk).alias("n_members"),
+    )  # shingle kernel runs once; both branches below scan this
+    groups = checkpoint_df(
+        keyed.groupBy("k").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("sh", "doc_id").alias("sh"),
         )
+    )  # one groupBy execution serves membership, signatures AND verify
+    member_rep = keyed.select("doc_id", "k").join(
+        groups.select("k", "rep", "n_members"), "k"
     )
-    member_rep = tagged.select("doc_id", "rep", "n_members")
-    rep_sh = tagged.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "sh"
-    )  # consumed 3× below, each a cheap filter of the materialization
+    rep_sh = groups.select(F.col("rep").alias("doc_id"), "sh")
     sig = rep_sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
         "doc_id", "_s.*"
     )
