@@ -111,13 +111,14 @@ _QF_REASON_SQL = f"""
 """
 
 
-def _qf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + heuristic metric/verdict columns (native exprs only)."""
+def _qf_metrics_cols(df: DataFrame, toks: Column) -> DataFrame:
+    """Append the heuristic metric columns (native exprs only) to any
+    frame with a `text` column; `toks` is the tokenizer expression —
+    callers that materialize tokens once (the capstone) pass a
+    `_once`-barriered column so the regex runs a single time per doc."""
     t = F.col("text")
-    toks = H.tokens(t)
-    df = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("nc", H.n_chars(t))
+    return (
+        df.withColumn("nc", H.n_chars(t))
         .withColumn("symr", H.symbol_ratio(t))
         .withColumn("_toks", toks)
         .withColumn("nw", H.n_words(F.col("_toks")))
@@ -125,6 +126,10 @@ def _qf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dupf", H.dup_line_fraction(t))
         .withColumn("swf", H.stopword_fraction(F.col("_toks")))
     )
+
+
+def _qf_verdict_cols(df: DataFrame) -> DataFrame:
+    """Append drop_reason/keep to a frame carrying the metric columns."""
     reason = (
         F.when(F.col("nc").isNull() | (F.col("nc") == 0), "no_content")
         .when(F.col("nc") < C.MIN_CHARS, "too_short")
@@ -142,6 +147,15 @@ def _qf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
+    )
+
+
+def _qf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + heuristic metric/verdict columns (native exprs only)."""
+    return _qf_verdict_cols(
+        _qf_metrics_cols(
+            _t(spark, sf_dir, "documents"), H.tokens(F.col("text"))
+        )
     )
 
 
@@ -344,23 +358,15 @@ def _once(col) -> Column:
     return F.explode(F.array(col))
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
-    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # documents is a small file (1 scan split) but shingling is
-    # CPU-bound higher-order-function work — spread it across cores.
-    # Hash-repartition WITH a column: AQE coalesces a column-less
-    # round-robin repartition of tiny inputs back to one task.
-    df = df.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
-    )
-    toks = H.tokens(F.col("text"))
-    # _once: without the barrier the tokenizer is inlined into the
-    # size() filter AND per element_at inside the shingle lambda
-    df = df.select("doc_id", _once(toks).alias("toks"))
-    # Drop <3-token docs HERE, on the cheap `toks` column: they have no
-    # shingles, so they can't appear in any downstream pair/signature.
-    # Unguarded, sequence(1, 0) yields a DESCENDING [1, 0] and
-    # element_at(toks, 0) aborts the job under ANSI.
+def _shingles_from(df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, sh): distinct word-3-gram shingles.
+
+    Drop <3-token docs HERE, on the cheap `toks` column: they have no
+    shingles, so they can't appear in any downstream pair/signature.
+    Unguarded, sequence(1, 0) yields a DESCENDING [1, 0] and
+    element_at(toks, 0) aborts the job under ANSI. A null toks (null
+    text) fails the size() predicate too.
+    """
     df = df.filter(F.size("toks") >= 3)
     sh = F.array_distinct(
         F.transform(
@@ -374,6 +380,21 @@ def _shingles(spark, sf_dir) -> DataFrame:
         )
     )
     return df.select("doc_id", sh.alias("sh"))
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # documents is a small file (1 scan split) but shingling is
+    # CPU-bound higher-order-function work — spread it across cores.
+    # Hash-repartition WITH a column: AQE coalesces a column-less
+    # round-robin repartition of tiny inputs back to one task.
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    toks = H.tokens(F.col("text"))
+    # _once: without the barrier the tokenizer is inlined into the
+    # size() filter AND per element_at inside the shingle lambda
+    return _shingles_from(df.select("doc_id", _once(toks).alias("toks")))
 
 
 _JACCARD_SQL = (
@@ -2300,7 +2321,17 @@ def decontaminate_train(spark, sf_dir):
     )
     toks = H.tokens(F.col("text"))
     # _once: same tokenizer-inlining barrier as _shingles
-    df = df.select("doc_id", "source", _once(toks).alias("toks")).filter(
+    return _decontaminate_from(
+        df.select(
+            "doc_id", _split_col().alias("split"), _once(toks).alias("toks")
+        )
+    )
+
+
+def _decontaminate_from(df: DataFrame) -> DataFrame:
+    """(doc_id, split, toks) → contaminated-train doc_ids; the capstone
+    feeds its single materialized tokens frame here."""
+    df = df.filter(
         F.size("toks") >= _DECON_N  # cheap pre-shuffle filter (see _shingles)
     )
     grams = F.array_distinct(
@@ -2312,9 +2343,7 @@ def decontaminate_train(spark, sf_dir):
         )
     )
     labeled = (
-        df.select(
-            "doc_id", _split_col().alias("split"), F.explode(grams).alias("g")
-        )
+        df.select("doc_id", "split", F.explode(grams).alias("g"))
         # val-split grams are read by neither join side — don't
         # explode/shuffle/checkpoint ~10% of the grams for nothing
         .filter(F.col("split") != "val")
@@ -3391,9 +3420,15 @@ _MHC_SQL = f"""
     "two shingle sets, no posting self-join) → connected components",
 )
 def dedup_clusters_lsh(spark, sf_dir):
+    return _dedup_clusters_lsh_from(_shingles(spark, sf_dir))
+
+
+def _dedup_clusters_lsh_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingle frame → near-dup clusters; the capstone
+    feeds it shingles derived from its single materialized tokens
+    frame, the registry query from a fresh tokenize of documents."""
     from eugl_spark.models.signatures import minhash_sig_udf
 
-    sh = _shingles(spark, sf_dir)
     # --- exact-dup collapse BEFORE the band join -------------------
     # A crawl's boilerplate pages form huge identical-text families;
     # every member lands in the SAME band bucket (the signature is a
@@ -3543,32 +3578,45 @@ def corpus_build_train(spark, sf_dir):
     # documents table is generated from its own word lists, so the
     # trigram/perplexity models (tested separately on their own
     # fit-for-purpose corpus) classify nearly all of it non-English —
-    # the heuristic gate is the meaningful quality filter here
-    kept = qf_verdict(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    # the heuristic gate is the meaningful quality filter here.
+    #
+    # ONE tokenization pass: the verdict metrics, the dedup shingles,
+    # the decontamination 5-grams and the budget's ntok all derive
+    # from a single checkpointed (toks, verdict, split) frame — the
+    # naive composition re-ran the regex tokenizer over the full
+    # corpus 4× (once per stage), which at 10^12 docs is 3 redundant
+    # full-corpus scans (the `_lc_train` 13.0→3.8s fix, applied to
+    # the capstone).
+    docs = _t(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    base = checkpoint_df(
+        _qf_verdict_cols(
+            _qf_metrics_cols(docs, _once(H.tokens(F.col("text"))))
+        ).select(
+            "doc_id",
+            "source",
+            _split_col().alias("split"),
+            F.col("_toks").alias("toks"),
+            F.col("nw").alias("ntok"),
+            "keep",
+        )
+    )
+    kept = base.filter(F.col("keep")).select("doc_id")
     dup_drop = (
-        dedup_clusters_lsh(spark, sf_dir)
+        _dedup_clusters_lsh_from(_shingles_from(base.select("doc_id", "toks")))
         .filter(~F.col("keep"))
         .select("doc_id")
     )
-    cont = decontaminate_train(spark, sf_dir).select("doc_id")
-    tr = (
-        split_train_val_test(spark, sf_dir)
-        .filter(F.col("split") == "train")
-        .select("doc_id", "source")
-    )
+    cont = _decontaminate_from(base.select("doc_id", "split", "toks"))
+    tr = base.filter(F.col("split") == "train").select("doc_id", "source")
     surv = (
         kept.join(tr, "doc_id")
         .join(dup_drop, "doc_id", "left_anti")
         .join(cont, "doc_id", "left_anti")
     )
-    # join FIRST, tokenize after: projecting ntok below the join would
-    # run the tokenizer over the whole corpus; survivors are typically
-    # a small fraction (Catalyst prunes columns, not rows)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    nt = surv.join(docs, "doc_id").select(
-        "doc_id",
-        "source",
-        F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"),
+    nt = surv.join(base.select("doc_id", "ntok"), "doc_id").select(
+        "doc_id", "source", F.col("ntok").cast("long").alias("ntok")
     )
     return _budget_filter(nt)
 
