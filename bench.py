@@ -163,48 +163,73 @@ def main_bench() -> None:
     sf = _sf_of(SF_DIR)
     pages = corpus_path(sf)  # generate outside the timed section
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-    timings: dict[str, float] = {}
 
     t0 = time.time()
     n_docs = run_pipeline_once(spark, pages)  # warm (JVM/Arrow spin-up)
     warm = time.time() - t0
-    best_p = None
-    for _ in range(2):  # best-of-2, same drift rationale as below
-        t0 = time.time()
-        run_pipeline_once(spark, pages)
-        dt = time.time() - t0
-        best_p = dt if best_p is None else min(best_p, dt)
-    timings["qf_pipeline_full"] = round(best_p, 3)
 
+    # Interleaved min-of-N (N=3): the shared host's throughput drifts
+    # several-fold minute-to-minute, so back-to-back repeats of ONE
+    # query all land in the same drift window and their min still
+    # carries the window's bias — which made round-over-round per-query
+    # comparison unreadable (VERDICT r3 "Next round" #4). Interleaving
+    # the rounds (sweep ALL queries, then repeat the whole sweep)
+    # spreads each query's samples ~minutes apart, so the per-query min
+    # approximates the host's best window rather than one draw of it.
+    ROUNDS = 3
+    # capstone scale curve: 1× (SF_DIR) / 3× / 10× documents — a third
+    # point shows whether the sub-linear 1×→10× growth is a trend or a
+    # fixed-cost artifact (VERDICT r3 "Next round" #8)
+    cap3, cap10 = capstone_sf1_dir(mult=3), capstone_sf1_dir(mult=10)
+    jobs: list[tuple[str, object]] = [
+        ("qf_pipeline_full", lambda: run_pipeline_once(spark, pages))
+    ]
     for name in HEADLINE:
-        qry = REGISTRY[name]
-        # best of 2: the shared host's throughput drifts ±40% between
-        # minutes (BENCH/BASELINE.md) and a single cold sample also
-        # pays one-off JIT/worker costs unrelated to the plan
-        best = None
-        for _ in range(2):
+        jobs.append(
+            (
+                name,
+                lambda q=REGISTRY[name].spark: q(spark, SF_DIR).count(),
+            )
+        )
+    jobs.append(
+        (
+            "corpus_build_train_sf03",
+            lambda: REGISTRY["corpus_build_train"].spark(spark, cap3).count(),
+        )
+    )
+    jobs.append(
+        (
+            "corpus_build_train_sf1",
+            lambda: REGISTRY["corpus_build_train"].spark(spark, cap10).count(),
+        )
+    )
+
+    samples: dict[str, list[float]] = {name: [] for name, _ in jobs}
+    for _ in range(ROUNDS):
+        for name, fn in jobs:
             t0 = time.time()
-            qry.spark(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            fn()
+            samples[name].append(time.time() - t0)
 
-    # capstone at sf1.0-equivalent (10× documents): tracks whether the
-    # verdict→dedup→decontaminate→split→budget composition scales with
-    # input, not just the sf0.1 point (VERDICT r2 #8)
-    cap_dir = capstone_sf1_dir()
-    best_c = None
-    for _ in range(2):
-        t0 = time.time()
-        REGISTRY["corpus_build_train"].spark(spark, cap_dir).count()
-        dt = time.time() - t0
-        best_c = dt if best_c is None else min(best_c, dt)
-    timings["corpus_build_train_sf1"] = round(best_c, 3)
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    # drift indicator: per-query max/min spread across the interleaved
+    # rounds — ≈1 means a quiet host (mins are trustworthy), ≫1 means
+    # the box was noisy and cross-round deltas under ~the spread are
+    # weather, not engine
+    spreads = sorted(max(s) / min(s) for s in samples.values())
+    drift = {
+        "per_query_spread_median": round(spreads[len(spreads) // 2], 3),
+        "per_query_spread_max": round(spreads[-1], 3),
+        "rounds": ROUNDS,
+        "scheme": "interleaved",
+    }
 
-    # headline_total = the sf0.1 suite only; the 10x capstone is
+    # headline_total = the sf0.1 suite only; the 3×/10× capstones are
     # reported per-query but would swamp (and re-scale) the total
+    _scaled = {"corpus_build_train_sf03", "corpus_build_train_sf1"}
     total = round(
-        sum(v for k, v in timings.items() if k != "corpus_build_train_sf1"), 3
+        sum(v for k, v in timings.items() if k not in _scaled), 3
     )
     docs_per_sec = round(n_docs / timings["qf_pipeline_full"], 1)
     print(
@@ -214,6 +239,8 @@ def main_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "drift": drift,
                 "sf": sf,
                 "pipeline_docs": n_docs,
                 "pipeline_docs_per_sec": docs_per_sec,
