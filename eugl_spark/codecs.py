@@ -28,6 +28,13 @@ import zlib
 
 import numpy as np
 
+# Decode-size ceiling for PNG reconstruction: Average/Paeth scanlines
+# are a per-pixel left-recurrence, so decode cost is O(pixels) of
+# interpreted work even with the channel lanes vectorized — bound it so
+# a single adversarial image fails fast into the per-row error channel
+# instead of stalling a whole Arrow batch. 16 MP ≈ a 4000×4000 photo.
+MAX_PNG_PIXELS = 16_000_000
+
 # ---------------------------------------------------------------------------
 # WAV (PCM)
 # ---------------------------------------------------------------------------
@@ -207,11 +214,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[ctype_i]
     stride = w * ch
+    if w * h > MAX_PNG_PIXELS:
+        # cap before even DECOMPRESSING: Average/Paeth rows are a true
+        # left-recurrence (O(W) interpreted steps per row even after
+        # vectorizing the channel lanes), so one huge adversarial image
+        # must surface as a per-row decode ERROR in the mapInPandas
+        # error channel, not a minutes-long worker stall — and a
+        # declared-huge header never inflates its IDAT (ADVICE r3)
+        raise ValueError(
+            f"PNG {w}x{h} exceeds MAX_PNG_PIXELS={MAX_PNG_PIXELS}"
+        )
     raw = zlib.decompress(idat)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint16)
+    zeros_ch = np.zeros(ch, np.int32)
     for y in range(h):
         f, line = int(raw[y, 0]), raw[y, 1:].astype(np.uint16)
         prev = out[y - 1] if y else np.zeros(stride, np.uint16)
@@ -219,19 +237,42 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = line
         elif f == 2:  # Up
             out[y] = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recurrence
-            cur = out[y]
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    rec = line[x] + a
-                elif f == 3:
-                    rec = line[x] + ((a + b) >> 1)
-                else:
-                    rec = line[x] + _paeth(int(a), int(b), int(c))
-                cur[x] = rec & 0xFF
+        elif f == 1:  # Sub: cur[x] = line[x] + cur[x-ch] — a per-
+            # channel prefix sum; mod 256 commutes with the sum, so one
+            # vectorized cumsum replaces the interpreted left-recurrence
+            # (int64 accumulator: stride*255 can't overflow)
+            out[y] = (
+                np.cumsum(
+                    line.reshape(w, ch).astype(np.int64), axis=0
+                ).ravel()
+                & 0xFF
+            )
+        elif f in (3, 4):  # Average / Paeth: true left-recurrence (the
+            # >>1 / predictor needs the mod-256 left PIXEL) — loop per
+            # pixel, but with all channel lanes as one numpy op
+            line2 = line.reshape(w, ch).astype(np.int32)
+            prev2 = prev.reshape(w, ch).astype(np.int32)
+            cur2 = np.empty((w, ch), np.int32)
+            a = zeros_ch
+            if f == 3:
+                for x in range(w):
+                    a = (line2[x] + ((a + prev2[x]) >> 1)) & 0xFF
+                    cur2[x] = a
+            else:
+                c = zeros_ch
+                for x in range(w):
+                    b = prev2[x]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        a,
+                        np.where(pb <= pc, b, c),
+                    )
+                    a = (line2[x] + pred) & 0xFF
+                    cur2[x] = a
+                    c = b
+            out[y] = cur2.ravel()
         else:
             raise ValueError(f"bad PNG filter {f}")
     img = out.astype(np.uint8).reshape(h, w, ch)

@@ -252,7 +252,15 @@ def run_with_resume(
             _append_lineage(spark, out_dir, rows)
             written += len(batch)
             for k, v in obs.get.items():
+                # `v or 0`: a sum() over an all-null slice observes
+                # None — coerce so the run total stays an int, but
+                # RECORD the null batch in a sibling counter so "no
+                # scrubbed bytes in this batch" stays distinguishable
+                # from "batch of zero-length scrubs" (ADVICE r3)
                 counters[k] = counters.get(k, 0) + (v or 0)
+                if v is None:
+                    nk = f"{k}_null_batches"
+                    counters[nk] = counters.get(nk, 0) + 1
         except Exception as e:  # noqa: BLE001 — always-write-lineage pattern
             _append_lineage(
                 spark,

@@ -424,17 +424,20 @@ def _guard_quadratic(df: DataFrame, op: str, alternative: str) -> DataFrame:
     The brute-force ops exist as correctness oracles for their
     sub-quadratic twins; at corpus scale an unguarded crossJoin /
     all-pairs self-join is a cluster-killer, not a slow query. The
-    count here is a cheap scan (the input is either a parquet scan or
-    an already-checkpointed frame). Returns df unchanged when under
-    the limit, so guarded queries hash identically at test scale.
+    probe is bounded — limit(limit+1).count() stops scanning at the
+    threshold instead of counting the whole input, so the job a
+    guarded REGISTRY[op].spark() call launches at construction time
+    costs O(limit) even on a huge table (ADVICE r3). Returns df
+    unchanged when under the limit, so guarded queries hash
+    identically at test scale.
     """
     limit = C.QUADRATIC_ROW_LIMIT
     if limit <= 0:
         return df
-    n = df.count()
+    n = df.limit(limit + 1).count()
     if n > limit:
         raise ValueError(
-            f"{op}: input has {n:,} rows, above the O(n^2) baseline "
+            f"{op}: input has more than {limit:,} rows, above the O(n^2) baseline "
             f"guard ({limit:,}). Use the sub-quadratic twin "
             f"`{alternative}`, or raise EUGL_QUADRATIC_ROW_LIMIT / set "
             f"it to 0 if you really mean to run the brute-force oracle."
@@ -2497,8 +2500,12 @@ def corpus_token_budget(spark, sf_dir):
 
 _MIX_UNIT = 1000  # tokens of budget per unit of mixture weight
 
+# TRY_CAST, not CAST: a source name with a >9-digit numeric suffix
+# ('crawl-20240101120000') overflows INT — plain cast ABORTS the job
+# under ANSI (and errors in DuckDB); try_cast degrades it to the
+# coalesce default weight 1 in both engines (ADVICE r3)
 _MIX_REL_SQL = (
-    "coalesce(CAST(nullif(regexp_extract(source, '(\\d+)$', 1), '')"
+    "coalesce(TRY_CAST(nullif(regexp_extract(source, '(\\d+)$', 1), '')"
     " AS INT) % 4 + 1, 1)"
 )
 
@@ -2511,7 +2518,7 @@ def _mix_rel_col():
     """Spark twin of _MIX_REL_SQL: per-source mixture weight 1..4."""
     return F.coalesce(
         F.nullif(F.regexp_extract(F.col("source"), r"(\d+)$", 1), F.lit(""))
-        .cast("int")
+        .try_cast("int")
         % 4
         + 1,
         F.lit(1),

@@ -44,6 +44,37 @@ def test_png_every_filter_inverts(f):
     )
 
 
+def test_png_large_sub_and_paeth_decode_fast_and_correct():
+    """512×512 RGB with the recurrence filters: correctness at a size
+    where the old per-BYTE loop took tens of seconds — the vectorized
+    Sub cumsum / channel-lane Paeth must finish in single-digit secs."""
+    import time
+
+    for f in (1, 4):
+        img = _rng(f).randint(0, 256, (512, 512, 3), "u1")
+        enc = codecs.encode_png(img, row_filter=f)
+        t0 = time.time()
+        assert np.array_equal(codecs.decode_png(enc), img)
+        assert time.time() - t0 < 10.0
+
+
+def test_png_pixel_cap_raises_value_error():
+    """An image above MAX_PNG_PIXELS must fail fast (into the per-row
+    error channel at the mapInPandas layer), not stall the worker on a
+    minutes-long Paeth reconstruction."""
+    # header claims 8000×8000; body doesn't matter, the cap fires first
+    ihdr = codecs.struct.pack(">IIBBBBB", 8000, 8000, 8, 2, 0, 0, 0)
+    enc = codecs.encode_png(np.zeros((2, 2, 3), np.uint8))
+    chunks = [(t, ihdr if t == b"IHDR" else d) for t, d in codecs._png_chunks(enc)]
+    payload = codecs._PNG_SIG + b"".join(
+        codecs.struct.pack(">I", len(d)) + t + d
+        + codecs.struct.pack(">I", zlib.crc32(t + d))
+        for t, d in chunks
+    )
+    with pytest.raises(ValueError, match="MAX_PNG_PIXELS"):
+        codecs.decode_png(payload)
+
+
 def test_png_matches_reference_filtering():
     """Spot-check against hand-computed Sub filtering on a known row."""
     img = np.array([[10, 20, 30, 25]], dtype=np.uint8)  # 1×4 gray

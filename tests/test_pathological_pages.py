@@ -256,8 +256,17 @@ def _write_patho_docs(tmp_path_factory, texts, name) -> str:
                 "doc_id": pa.array([i for i, _ in texts], pa.int64()),
                 "text": pa.array([t for _, t in texts], pa.string()),
                 "lang": pa.array(["en"] * len(texts), pa.string()),
+                # one source family carries a 14-digit numeric suffix
+                # (> 2^31): the mixture-weight rule extracts and casts
+                # the trailing digit run, and a plain INT cast aborts
+                # under ANSI / errors in DuckDB — try_cast must degrade
+                # it to the default weight in BOTH engines (ADVICE r3)
                 "source": pa.array(
-                    [f"s{i % 3}" for i, _ in texts], pa.string()
+                    [
+                        ["s0", "crawl-20240101120000", "s2"][i % 3]
+                        for i, _ in texts
+                    ],
+                    pa.string(),
                 ),
                 "n_chars": pa.array(
                     [len(t) if t else 0 for _, t in texts], pa.int64()
