@@ -215,3 +215,53 @@ def test_windowed_verdict_counts(spark, drop_dir, tmp_path):
     assert total == 400
     reasons = {r["reason"] for r in res.select("reason").distinct().collect()}
     assert "KEEP" in reasons and len(reasons) > 3
+
+
+def test_streaming_equals_oracle_gated_batch(spark, sf_dir, tmp_path):
+    """Oracle-CLASS evidence for streaming (VERDICT r3 "Next round" #5):
+    the AvailableNow stream over the sf0.01 documents corpus must equal,
+    row for row, the batch `pipeline_docs_verdict` result — which is
+    itself hash-gated against an independent all-SQL DuckDB oracle in
+    test_entry.py. Equality transfers that oracle to the streaming path."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/d/"), F.col("doc_id")
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    drop = str(tmp_path / "docs_as_pages")
+    # several files so the file-stream source actually batches
+    pages.repartition(4).write.parquet(drop)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_pipeline(spark, drop, out, ckpt)
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .select(
+            F.element_at(F.split(F.col("url"), "/"), -1)
+            .cast("long")
+            .alias("doc_id"),
+            F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        REGISTRY["pipeline_docs_verdict"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["reason"].tolist() == want["reason"].tolist()
