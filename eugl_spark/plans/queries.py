@@ -3220,6 +3220,7 @@ def _kmeans_centroids(
     iters: int = _KMEANS_ITERS,
     tol: float | None = None,
     max_iters: int = 50,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Train the quantizer: deterministic init (first K vectors), Lloyd
     rounds with centroids checkpointed per round.
@@ -3233,7 +3234,24 @@ def _kmeans_centroids(
       ``max_iters``). The shift is ONE scalar aggregate per round —
       the same cheap fixpoint probe as the CC label-sum
       (operators/graph.py) — never a full-frame diff.
+
+    ``train_fraction`` < 1.0 trains the Lloyd rounds on a DETERMINISTIC
+    hash-sample of the vectors (the shared md5-percent recipe — no
+    ``sample()`` nondeterminism) while the caller still assigns the
+    FULL table: the centroids are K tiny rows, and at corpus scale
+    scanning every vector per Lloyd round buys nothing a 1% sample
+    doesn't (VERDICT r3 #7). Default 1.0 keeps the oracle queries
+    byte-identical. Init stays the first K vectors of the FULL table
+    so sampled and full training start from the same seed.
     """
+    train = emb
+    if train_fraction < 1.0:
+        train = checkpoint_df(
+            emb.filter(
+                _md5_pct_col(F.col("vec_id").cast("string"))
+                < int(train_fraction * 100)
+            )
+        )
     centroids = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
         .select(
@@ -3246,11 +3264,11 @@ def _kmeans_centroids(
     )
     if tol is None:
         for _ in range(iters):
-            assigned = _kmeans_assign(emb, centroids)
+            assigned = _kmeans_assign(train, centroids)
             centroids = checkpoint_df(_kmeans_update(assigned))
         return centroids
     for _ in range(max_iters):
-        new = checkpoint_df(_kmeans_update(_kmeans_assign(emb, centroids)))
+        new = checkpoint_df(_kmeans_update(_kmeans_assign(train, centroids)))
         shift = _centroid_shift(centroids, new)
         centroids = new
         if shift is not None and shift < tol:

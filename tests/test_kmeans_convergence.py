@@ -67,3 +67,68 @@ def test_centroid_shift_counts_vanished_cells(spark):
         [(0, [0.0, 0.0])], "cell int, cvec array<double>"
     )
     assert _centroid_shift(old, vanished) >= 1.0e18
+
+
+def _topk5(spark, emb, centroids):
+    """The ann_kmeans_topk search shape against a given centroid set."""
+    from pyspark.sql import Window as W
+
+    from eugl_spark.models.embedding_kernels import cosine_udf
+    from eugl_spark.operators.checkpoint import checkpoint_df
+    from eugl_spark.plans.queries import _IVF_NPROBE
+
+    assigned = checkpoint_df(_kmeans_assign(emb, centroids))
+    probes = _kmeans_assign(
+        emb.filter(F.col("vec_id") < 10), centroids, top_n=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "cell"
+    )
+    pairs = (
+        probes.join(cands, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    rows = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+        .collect()
+    )
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["n_id"])
+    return out
+
+
+def test_sample_trained_centroids_recall_floor(spark, sf_dir):
+    """train_fraction trains Lloyd on a deterministic hash-sample while
+    assignment still covers the full table — sampled-vs-full top-5
+    recall must stay above a floor (VERDICT r3 #7)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    full = _topk5(spark, emb, _kmeans_centroids(emb))
+    sampled = _topk5(
+        spark, emb, _kmeans_centroids(emb, train_fraction=0.5)
+    )
+    assert set(full) == set(sampled)
+    hits = total = 0
+    for q, want in full.items():
+        hits += len(want & sampled[q])
+        total += len(want)
+    assert total > 0 and hits / total >= 0.6, (hits, total)
+
+
+def test_train_fraction_default_changes_nothing(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = {
+        (r["cell"], tuple(r["cvec"]))
+        for r in _kmeans_centroids(emb).collect()
+    }
+    b = {
+        (r["cell"], tuple(r["cvec"]))
+        for r in _kmeans_centroids(emb, train_fraction=1.0).collect()
+    }
+    assert a == b
