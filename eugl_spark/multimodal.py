@@ -87,9 +87,9 @@ def synthesize_real_media(
     spark: SparkSession, n: int, seed: int = 42
 ) -> DataFrame:
     """Deterministic media table of REAL files: images cycle
-    PNG/BMP/PPM, audio is 16-bit PCM WAV, and every 9th row is an
-    'av1' video payload no stdlib codec can open — exercising the
-    NotImplementedError error-row path in real mode."""
+    PNG/BMP/PPM/baseline-JPEG, audio is 16-bit PCM WAV, and every 9th
+    row is an 'av1' video payload no stdlib codec can open —
+    exercising the NotImplementedError error-row path in real mode."""
     from eugl_spark import codecs
 
     rng = np.random.RandomState(seed)
@@ -110,23 +110,24 @@ def synthesize_real_media(
             continue
         h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
         img = rng.randint(0, 256, (h, w, 3), "u1")
-        # (i // 9 + i) % 3, not i % 3: the image mods {1,2,4,5,7} are
-        # never ≡0 (mod 3) within a block — rotating by the block index
-        # lets all three encoders appear
+        # rotate by the block index: the image mods {1,2,4,5,7} within
+        # a 9-block never cover all residues alone — adding i // 9
+        # cycles every encoder through the corpus
         enc, codec = [
             (codecs.encode_png, "png"),
             (codecs.encode_bmp, "bmp"),
             (codecs.encode_netpbm, "ppm"),
-        ][(i // 9 + i) % 3]
+            (codecs.encode_jpeg, "jpeg"),
+        ][(i // 9 + i) % 4]
         rows.append((i, "image", bytearray(enc(img)), (w, h, None, codec)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
-    """Real decode via stdlib codecs (PNG/BMP/netpbm/WAV, magic-byte
-    dispatch). Raises NotImplementedError for formats that genuinely
-    need external libraries (JPEG/Opus/AV1) — per-row isolated by the
-    callers, and replaceable via the decode= hook."""
+    """Real decode via stdlib codecs (PNG/BMP/netpbm/WAV/baseline-JPEG,
+    magic-byte dispatch). Raises NotImplementedError for formats that
+    genuinely need external libraries (Opus/AV1) — per-row isolated by
+    the callers, and replaceable via the decode= hook."""
     from eugl_spark.codecs import sniff_decode
 
     return sniff_decode(payload)

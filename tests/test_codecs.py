@@ -75,6 +75,70 @@ def test_png_pixel_cap_raises_value_error():
         codecs.decode_png(payload)
 
 
+def _smooth_rgb(h=48, w=64):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    g = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    return np.stack([g, np.roll(g, 3, 0), 255 - g], -1)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_rgb(subsample):
+    """Lossy round-trip: 4:4:4 and 4:2:0 must reconstruct a smooth
+    image within small mean error and exact shape."""
+    img = _smooth_rgb()
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, subsample=subsample))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    mae = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert mae < 8.0, mae
+
+
+def test_jpeg_roundtrip_gray_and_odd_shapes():
+    rng = _rng(21)
+    for shape in [(1, 1), (7, 5), (8, 8), (17, 23, 3), (33, 31, 3)]:
+        img = rng.randint(0, 256, shape, "u1")
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+        assert dec.shape == img.shape
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI/RSTn streams must produce the same pixels as the unrestarted
+    encoding of the same blocks (predictor reset + byte realign)."""
+    img = _smooth_rgb(40, 56)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    for ri in (1, 2, 5):
+        withr = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, restart_interval=ri)
+        )
+        assert np.array_equal(plain, withr)
+
+
+def test_jpeg_truncation_is_value_error_and_cap_fires():
+    """Every truncation point either raises ValueError (the per-row
+    error-channel contract — never IndexError/struct.error) or, when
+    the cut is past the entropy data, still decodes to the full
+    image."""
+    enc = codecs.encode_jpeg(_rng(5).randint(0, 256, (16, 16), "u1"))
+    for cut in range(2, len(enc)):
+        try:
+            out = codecs.decode_jpeg(enc[:cut])
+            assert out.shape == (16, 16)
+        except ValueError:
+            pass
+    hdr = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xC0, 11)
+        + struct.pack(">BHHB", 8, 3000, 3000, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="MAX_JPEG_PIXELS"):
+        codecs.decode_jpeg(hdr)
+
+
+def test_jpeg_sniff_dispatch():
+    img = _smooth_rgb(16, 16)
+    assert codecs.sniff_decode(codecs.encode_jpeg(img)).shape == img.shape
+
+
 def test_png_matches_reference_filtering():
     """Spot-check against hand-computed Sub filtering on a known row."""
     img = np.array([[10, 20, 30, 25]], dtype=np.uint8)  # 1×4 gray
