@@ -522,9 +522,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline-DCT JPEG → uint8 (H, W) gray or (H, W, 3) RGB."""
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error) as e:
-        # a truncated/corrupt stream must surface as ValueError (the
-        # per-row error-channel contract), not an internal IndexError
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        # a corrupt-but-parseable stream must surface as ValueError
+        # (the per-row error-channel contract), never an internal
+        # error type: truncation → IndexError/struct.error, an SOS/SOF
+        # referencing an undefined Huffman/quant table id → KeyError,
+        # a corrupt DHT driving an oversized magnitude → OverflowError
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -775,12 +778,15 @@ def encode_jpeg(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     qids = [0] + [1] * (len(planes) - 1)
-    qtabs = {0: _QT_LUM, 1: _QT_CHROM}
+    # zigzag-serialize the Annex K tables ONCE: both the coefficient
+    # division (which runs in zigzag order) and the DQT segment (which
+    # the spec defines as zigzag-serialized) use the same array, so
+    # position (1,0) really gets Annex K's 12, not raster-read 10
+    qtabs = {0: _QT_LUM[_ZIGZAG], 1: _QT_CHROM[_ZIGZAG]}
     comp_blocks = []
     for p, (hs, vs), qid in zip(planes, samp, qids):
         target = (mcuy * vs * 8, mcux * hs * 8)
         p = _pad_edge(p, 8)[: target[0], : target[1]]
-        p = _pad_edge(p, 1)  # no-op copy for shape safety
         if p.shape != target:  # image smaller than the MCU grid
             p = np.pad(
                 p,
@@ -847,8 +853,8 @@ def encode_jpeg(
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    for tq, qt in ((0, _QT_LUM), (1, _QT_CHROM))[: 1 if gray else 2]:
-        out += seg(0xDB, bytes([tq]) + bytes(qt.astype(np.uint8)))
+    for tq in range(1 if gray else 2):
+        out += seg(0xDB, bytes([tq]) + bytes(qtabs[tq].astype(np.uint8)))
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for k in range(nc):

@@ -3246,10 +3246,25 @@ def _kmeans_centroids(
     """
     train = emb
     if train_fraction < 1.0:
+        # basis-point resolution (md5 mod 10000, same recipe family as
+        # _md5_pct_col): int(frac*100) would TRUNCATE fractions under
+        # 1% to an empty sample — exactly the corpus-scale setting the
+        # parameter exists for — and e.g. 0.29 to 28%
+        bp = round(train_fraction * 10_000)
+        if bp <= 0:
+            raise ValueError(
+                f"train_fraction={train_fraction} samples nothing "
+                "(minimum resolution is 1/10000)"
+            )
         train = checkpoint_df(
             emb.filter(
-                _md5_pct_col(F.col("vec_id").cast("string"))
-                < int(train_fraction * 100)
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 10_000
+                < bp
             )
         )
     centroids = (

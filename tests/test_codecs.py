@@ -139,6 +139,28 @@ def test_jpeg_sniff_dispatch():
     assert codecs.sniff_decode(codecs.encode_jpeg(img)).shape == img.shape
 
 
+def test_jpeg_undefined_table_ids_raise_value_error():
+    """A parseable JPEG whose SOS references an undefined Huffman table
+    (or SOF an undefined quant table) must surface as ValueError, not
+    leak a KeyError out of the per-row error-channel contract."""
+    enc = bytearray(codecs.encode_jpeg(_smooth_rgb(8, 8)[:, :, 0]))
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    bad = bytes(enc[: sos + 6]) + bytes([0x33]) + bytes(enc[sos + 7 :])
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        codecs.decode_jpeg(bad)
+
+
+def test_jpeg_dqt_is_zigzag_serialized_annex_k():
+    """The DQT segment is zigzag-serialized per the spec, so raster
+    position (0,1)=11 and (1,0)=12 must appear at zigzag indices 1 and
+    2 — not the raster-read 11, 10."""
+    enc = codecs.encode_jpeg(_smooth_rgb(8, 8)[:, :, 0])
+    i = enc.find(b"\xff\xdb")
+    table = enc[i + 5 : i + 5 + 64]
+    assert list(table[:6]) == [16, 11, 12, 14, 12, 10]
+
+
 def test_png_matches_reference_filtering():
     """Spot-check against hand-computed Sub filtering on a known row."""
     img = np.array([[10, 20, 30, 25]], dtype=np.uint8)  # 1×4 gray

@@ -132,3 +132,11 @@ def test_train_fraction_default_changes_nothing(spark, sf_dir):
         for r in _kmeans_centroids(emb, train_fraction=1.0).collect()
     }
     assert a == b
+
+
+def test_train_fraction_below_resolution_raises(spark, sf_dir):
+    import pytest
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="samples nothing"):
+        _kmeans_centroids(emb, train_fraction=0.00001)
