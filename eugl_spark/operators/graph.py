@@ -56,7 +56,12 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     labels = checkpoint_df(labels)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0), not long: hash-derived 63-bit doc_ids overflow a
+    # LongType sum under ANSI (job abort), and at 10^12 sequential ids
+    # the true sum exceeds 2^63 anyway; decimal is exact to 10^38 so
+    # the monotone-decrease fixpoint test stays exact too
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     while True:
         for _ in range(2):
             msgs = edges.join(
@@ -68,7 +73,7 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
                 .agg(F.min("label").alias("label"))
             )
         labels = checkpoint_df(labels)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(_label_sum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -141,8 +146,15 @@ def connected_components_star(
     )
 
     def sig(e: DataFrame):
+        # decimal(38,0) sums, not long: ids may be hash-derived 63-bit
+        # values, and under ANSI (Spark 4 default) a LongType sum over
+        # even two of those can raise ARITHMETIC_OVERFLOW and abort the
+        # job on exactly the scale path this operator exists for —
+        # decimal holds Σ of 10^12 × 2^63 (≈ 9e30 « 10^38) exactly
         r = e.agg(
-            F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
         ).collect()[0]
         return (r["n"], r["su"], r["sv"])
 

@@ -77,6 +77,12 @@ def get_spark(
         # (html binary) — 32MB splits keep every core fed even from a
         # handful of input files
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # iterative operators (connected components, k-means, GD)
+        # reliably checkpoint each superstep when a checkpoint dir is
+        # configured; without this flag Spark never deletes those
+        # files, so a 50-round CC run would leak ~50 full edge-set
+        # copies into the checkpoint dir on long-running jobs
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

@@ -51,8 +51,20 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     `catalog.db.tbl` (no slash) → Iceberg table read (predicate and
     partition pruning via table metadata); anything path-like →
     schema-pinned parquet (no inference at 10^12 rows).
+
+    A table-NAME source on a cluster without the Iceberg runtime is a
+    hard error, not a silent fall-through to a parquet read of a
+    directory literally named 'catalog.db.tbl' (best case a confusing
+    PATH_NOT_FOUND, worst case reading stray local data).
     """
-    if "/" not in source and iceberg_available(spark):
+    if "/" not in source:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"read_pages({source!r}): looks like an Iceberg table "
+                "name but the Iceberg runtime is not on the classpath "
+                "(add iceberg-spark-runtime to --packages/--jars, or "
+                "pass a parquet path)"
+            )
         return spark.read.format("iceberg").load(source)
     return spark.read.schema(PAGES_SCHEMA).parquet(source)
 
@@ -165,8 +177,15 @@ def compact_all(
 def write_pages(df: DataFrame, target: str) -> None:
     """Partitioned write: Iceberg overwrite-partitions when the target
     is a table, dynamic-overwrite parquet otherwise (same semantics the
-    lineage runner relies on)."""
-    if "/" not in target and iceberg_available(df.sparkSession):
+    lineage runner relies on). Table-name target without the Iceberg
+    runtime errors rather than writing a parquet DIRECTORY named like
+    the table (same hard-error contract as read_pages)."""
+    if "/" not in target:
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                f"write_pages({target!r}): looks like an Iceberg table "
+                "name but the Iceberg runtime is not on the classpath"
+            )
         df.writeTo(target).overwritePartitions()
         return
     (

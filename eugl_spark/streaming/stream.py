@@ -128,9 +128,16 @@ def sessionized_host_activity(pages_stream: DataFrame) -> DataFrame:
 
 
 def windowed_verdict_counts(labeled_stream: DataFrame) -> DataFrame:
-    """Watermarked hourly drop-reason distribution (late data ≤ 2h)."""
+    """Watermarked hourly drop-reason distribution (late data ≤ 2h).
+
+    Damaged records (null warc_ts, warc.py's tolerance contract) have
+    no event time to window by — filter them EXPLICITLY rather than
+    letting the window expression's implicit isnotnull silently drop
+    them: the caller can (and should) count them on a separate
+    time-free branch, same split as stream_dedup_pages."""
     return (
-        labeled_stream.withWatermark("warc_ts", "2 hours")
+        labeled_stream.filter(F.col("warc_ts").isNotNull())
+        .withWatermark("warc_ts", "2 hours")
         .groupBy(
             F.window("warc_ts", "1 hour"),
             F.coalesce(F.col("drop_reason"), F.lit("KEEP")).alias("reason"),

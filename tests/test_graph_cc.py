@@ -99,3 +99,19 @@ def test_star_keeps_self_pair_only_nodes(spark):
         }
         assert got.get(5) == 5, (fn.__name__, got)
         assert got.get(1) == got.get(2) == 1, (fn.__name__, got)
+
+
+@pytest.mark.parametrize(
+    "fn", [connected_components_minlabel, connected_components_star]
+)
+def test_cc_near_max_long_ids_no_ansi_overflow(spark, fn):
+    """Hash-derived doc_ids are 63-bit; the fixpoint/convergence probes
+    must not abort with ARITHMETIC_OVERFLOW under ANSI when summing
+    them (decimal sums). Two ids near 2^62 summed as long overflow."""
+    big = 1 << 62
+    pairs = [(big + 1, big + 2), (big + 3, big + 4), (big + 2, big + 3),
+             (big + 10, big + 11)]
+    df = spark.createDataFrame(pairs, "doc_a: long, doc_b: long")
+    got = {r["doc_id"]: r["cluster"] for r in fn(df).collect()}
+    want = _union_find(pairs)
+    assert got == want

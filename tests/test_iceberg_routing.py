@@ -107,11 +107,23 @@ def test_read_routes_path_to_schema_pinned_parquet(monkeypatch):
     assert log[1] == ("parquet", "/data/pages")
 
 
-def test_read_table_name_without_jars_falls_back_to_parquet(monkeypatch):
+def test_read_table_name_without_jars_is_hard_error(monkeypatch):
+    """A table-NAME source with no Iceberg runtime must error clearly,
+    never silently fall through to a parquet read of a directory
+    literally named 'catalog.db.pages'."""
     log: list = []
     monkeypatch.setattr(P, "iceberg_available", lambda s: False)
-    out = P.read_pages(_FakeSpark(log), "catalog.db.pages")
-    assert out == "PARQUET_DF"
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        P.read_pages(_FakeSpark(log), "catalog.db.pages")
+    assert log == []  # no read was attempted
+
+
+def test_write_table_name_without_jars_is_hard_error(monkeypatch):
+    log: list = []
+    monkeypatch.setattr(P, "iceberg_available", lambda s: False)
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        P.write_pages(_FakeDF(log), "catalog.db.pages")
+    assert log == []
 
 
 def test_write_routes_table_name_to_overwrite_partitions(monkeypatch):

@@ -37,3 +37,33 @@ def test_warc_ingestion_chain(spark, tmp_path):
     verdicts = {r["url"]: r["drop_reason"] for r in labeled.collect()}
     assert verdicts["https://b.example/y"] == "too_short"
     assert verdicts["https://a.example/x"] in (None, "perplexity")
+
+
+def test_warc_damaged_headers_cannot_capture_or_spoof(spark, tmp_path):
+    """Two header-extraction hardening cases: (1) an EMPTY-valued URI
+    header must not capture the next line's token as the url; (2) a
+    record MISSING its URI header must be dropped even when its BODY
+    contains a spoofed 'WARC-Target-URI:' line — and a body line must
+    never override the header block's date either."""
+    d = tmp_path / "raw2"
+    d.mkdir()
+    # empty URI value: next header starts on the following line
+    (d / "e1.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Target-URI: \r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\n\r\n<p>x</p>"
+    )
+    # no URI header; body tries to smuggle one in
+    (d / "e2.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Date: 2024-03-01T12:00:00Z\r\n\r\n"
+        b"WARC-Target-URI: http://evil.example/\r\n<p>doc about warc</p>"
+    )
+    # good record whose body mentions a different date header
+    (d / "e3.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Target-URI: https://ok.example/z\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\n\r\n"
+        b"WARC-Date: 1999-01-01T00:00:00Z\r\n<p>body</p>"
+    )
+    pages = parse_warc_records(read_raw_drops(spark, str(d), "*.warc"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://ok.example/z"}
+    assert str(rows["https://ok.example/z"]["warc_ts"]).startswith("2024-03-01")
