@@ -119,3 +119,58 @@ def test_once_barrier_keeps_tokenizer_out_of_lambdas(spark):
     assert any("regexp_extract_all" in ln for ln in gen), plan
     assert not any("regexp_extract_all" in ln for ln in rest), plan
     assert out.collect()[0].g == ["a"]
+
+
+def test_capstone_base_single_tokenization_plan(spark):
+    """The round-4 invariant behind corpus_build_train: verdict
+    metrics, shingles, 5-grams and ntok all derive from ONE tokenizer
+    run. Structurally: the base frame's plan holds regexp_extract_all
+    only inside the _once Generate barrier (once), and the shingle /
+    decontamination stages built FROM the token column introduce no
+    tokenizer at all."""
+    from eugl_spark.functions import heuristics as H
+    from eugl_spark.plans.queries import (
+        _decontaminate_from,
+        _once,
+        _qf_metrics_cols,
+        _qf_verdict_cols,
+        _shingles_from,
+        _split_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "s1", "the cat sat on the mat today")],
+        "doc_id long, lang string, source string, text string",
+    )
+    base = _qf_verdict_cols(
+        _qf_metrics_cols(df, _once(H.tokens(F.col("text"))))
+    ).select(
+        "doc_id",
+        "source",
+        _split_col().alias("split"),
+        F.col("_toks").alias("toks"),
+        F.col("nw").alias("ntok"),
+        "keep",
+    )
+    # the TOKENIZER is regexp_extract_all over lower(text) — that
+    # needle distinguishes it from regexp_count's internal
+    # regexp_extract_all rewrite (the symbol counter, a different
+    # regex over raw text)
+    needle = "regexp_extract_all(lower("
+    plan = base._jdf.queryExecution().optimizedPlan().toString()
+    tok_lines = [ln for ln in plan.splitlines() if needle in ln]
+    assert len(tok_lines) == 1 and "Generate" in tok_lines[0], plan
+
+    for stage in (
+        _shingles_from(base.select("doc_id", "toks")),
+        _decontaminate_from(base.select("doc_id", "split", "toks")),
+    ):
+        p = stage._jdf.queryExecution().optimizedPlan().toString()
+        # the single Generate from base is allowed; NO additional
+        # tokenizer may appear outside it
+        extra = [
+            ln
+            for ln in p.splitlines()
+            if needle in ln and "Generate" not in ln
+        ]
+        assert not extra, p
