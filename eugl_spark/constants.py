@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 # ---------------------------------------------------------------------------
 # Languages & word lists (synthetic corpora are generated from these)
@@ -132,7 +133,17 @@ DROP_PRECEDENCE: tuple[str, ...] = (
 # Patterns are written in the common subset of Java-regex / Python-re /
 # RE2 (no backrefs, no lookaround) so Catalyst `regexp_replace`, the
 # pandas oracle and the DuckDB oracle produce byte-identical output.
+#
+# RE_FLAGS: the Python side MUST compile these with re.ASCII. Java
+# regex and RE2 give \d/\s/\w/\b their ASCII meaning by default, but
+# Python re is Unicode: without the flag, \d matches Arabic-Indic
+# digits and \s matches \xa0 ONLY on the kernel/oracle side, so a
+# Unicode-digit IP or an nbsp-heavy page gets different scrub/symbol
+# verdicts in the relational stack vs the kernel stack. One flag pins
+# all four engines to the same (ASCII) semantics.
 # ---------------------------------------------------------------------------
+
+RE_FLAGS = re.ASCII
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

@@ -39,8 +39,11 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"\?&+", "?")  # ?&& → ?
     u = F.regexp_replace(u, r"&&+", "&")  # a&&b → a&b
     u = F.regexp_replace(u, r"[?&]+$", "")  # dangling ? / &
-    # trailing slash on a non-root path (never the scheme's //)
-    u = F.regexp_replace(u, r"(//[^/]+/.+?)/+$", r"$1")
+    # trailing slash on a non-root PATH (never the scheme's // and
+    # never inside a query string: [^?#] keeps '?q=a/' intact — a
+    # slash there is part of the query VALUE, and stripping it would
+    # merge urls whose server responses genuinely differ)
+    u = F.regexp_replace(u, r"(//[^/]+/[^?#]+?)/+$", r"$1")
     return u
 
 

@@ -133,7 +133,20 @@ def _bucket_stats(
     # fail to resolve. Old-version rows surface as run_id NULL and are
     # correctly excluded; a directory with no run_id column anywhere
     # (pure old-version) keeps the legacy single-run semantics.
-    out = spark.read.option("mergeSchema", "true").parquet(_out_path(out_dir))
+    try:
+        out = spark.read.option("mergeSchema", "true").parquet(
+            _out_path(out_dir)
+        )
+    except Exception:
+        # a SUCCESSFUL write of zero rows leaves a directory with only
+        # _SUCCESS (no data files) → UNABLE_TO_INFER_SCHEMA. That is
+        # an empty batch, NOT a failure: without this, every bucket of
+        # an empty batch is spuriously marked 'failed' and a truly
+        # empty input never converges to 'ok' even on resume
+        out = spark.createDataFrame(
+            [],
+            "bucket int, drop_reason string, keep boolean, run_id string",
+        )
     run_filter = (
         (F.col("run_id") == run_id) if "run_id" in out.columns else F.lit(True)
     )

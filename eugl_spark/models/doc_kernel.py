@@ -34,24 +34,29 @@ from eugl_spark import constants as C
 from eugl_spark.models.langid import _ALPHA, _CHARMAP, _LUT
 from eugl_spark.models.scoring import _EDGES, _G, _GIDX
 
-_TOKEN = re.compile(C.TOKEN_RE)
-_SYMBOL = re.compile(C.SYMBOL_RE)
-_SCRUB = [(re.compile(p), r) for p, r in C.SCRUB_RULES]
+# C.RE_FLAGS (re.ASCII): pins \d/\s/\w/\b to the Java/RE2 semantics —
+# see the contract note in constants.py
+_TOKEN = re.compile(C.TOKEN_RE, C.RE_FLAGS)
+_SYMBOL = re.compile(C.SYMBOL_RE, C.RE_FLAGS)
+_SCRUB = [(re.compile(p, C.RE_FLAGS), r) for p, r in C.SCRUB_RULES]
 # superset gate: every scrub pattern needs '@' or a digit (email/ip/
 # phone) or a literal toxic term, so one character-class scan plus
 # C-level substring checks clears the clean majority without running
-# the four pattern passes (which still define the semantics)
-_SCRUB_HINT = re.compile(r"[@0-9]")
+# the four pattern passes (which still define the semantics). The hint
+# compiles with the SAME flags as the rules, so \d here matches
+# exactly what the rules' \d can — the gate stays a superset by
+# construction whatever the flags say
+_SCRUB_HINT = re.compile(r"[@\d]", C.RE_FLAGS)
 
 
 def _maybe_scrub(t: str) -> bool:
     if _SCRUB_HINT.search(t) is not None:
         return True
     return any(term in t for term in C.TOXIC_TERMS)
-_HTML = [(re.compile(p), r) for p, r in C.HTML_STRIP_RULES]
-_WS = re.compile(C.WHITESPACE_COLLAPSE_RE)
-_NL = re.compile(C.NEWLINE_COLLAPSE_RE)
-_TRIM = re.compile(C.TRIM_RE)
+_HTML = [(re.compile(p, C.RE_FLAGS), r) for p, r in C.HTML_STRIP_RULES]
+_WS = re.compile(C.WHITESPACE_COLLAPSE_RE, C.RE_FLAGS)
+_NL = re.compile(C.NEWLINE_COLLAPSE_RE, C.RE_FLAGS)
+_TRIM = re.compile(C.TRIM_RE, C.RE_FLAGS)
 # Exact numeric word encoding: a word of length L ≤ 13 over [a-z]
 # maps injectively to Σ c_i·27^(K-1-i) (c=1..26, zero-padded tail),
 # so vocabulary lookup, stop-word tests and bigram-edge membership are
@@ -74,10 +79,12 @@ def _encode_vocab() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     # over the cap would silently encode as its prefix and never match
     # (or collide with a real K-char word) — fail fast at model load
     too_long = [w for w in _GIDX if len(w) > _WORD_K]
-    assert not too_long, (
-        f"vocabulary words exceed _WORD_K={_WORD_K} chars: {too_long[:5]} "
-        "— raise _WORD_K (and re-verify int64 headroom: 27^K)"
-    )
+    if too_long:  # ValueError, not assert: -O must not disable this
+        raise ValueError(
+            f"vocabulary words exceed _WORD_K={_WORD_K} chars: "
+            f"{too_long[:5]} — raise _WORD_K (and re-verify int64 "
+            "headroom: 27^K)"
+        )
     items = sorted((_word_code(w), gid) for w, gid in _GIDX.items())
     codes = np.asarray([c for c, _ in items], dtype=np.int64)
     gids = np.asarray([g for _, g in items], dtype=np.int64)

@@ -24,13 +24,15 @@ import pandas as pd
 
 from eugl_spark import constants as C
 
-_TOKEN = re.compile(C.TOKEN_RE)
-_SYMBOL = re.compile(C.SYMBOL_RE)
-_SCRUB = [(re.compile(p), r) for p, r in C.SCRUB_RULES]
-_HTML = [(re.compile(p), r) for p, r in C.HTML_STRIP_RULES]
-_WS = re.compile(C.WHITESPACE_COLLAPSE_RE)
-_NL = re.compile(C.NEWLINE_COLLAPSE_RE)
-_TRIM = re.compile(C.TRIM_RE)
+# C.RE_FLAGS (re.ASCII): pins \d/\s/\w/\b to the Java/RE2 semantics —
+# see the contract note in constants.py
+_TOKEN = re.compile(C.TOKEN_RE, C.RE_FLAGS)
+_SYMBOL = re.compile(C.SYMBOL_RE, C.RE_FLAGS)
+_SCRUB = [(re.compile(p, C.RE_FLAGS), r) for p, r in C.SCRUB_RULES]
+_HTML = [(re.compile(p, C.RE_FLAGS), r) for p, r in C.HTML_STRIP_RULES]
+_WS = re.compile(C.WHITESPACE_COLLAPSE_RE, C.RE_FLAGS)
+_NL = re.compile(C.NEWLINE_COLLAPSE_RE, C.RE_FLAGS)
+_TRIM = re.compile(C.TRIM_RE, C.RE_FLAGS)
 
 
 def extract_text(html: bytes | None) -> str | None:

@@ -95,27 +95,42 @@ def apply_pipeline(
     else:
         pages = pages.withColumn("_host_action", F.lit(None).cast("string"))
 
-    # html crosses the boundary only for rows that need extraction
-    html_in = F.when(F.col("text").isNull(), F.col("html"))
-    df = pages.withColumn("_k", qa_kernel_udf(F.col("text"), html_in))
-
-    k = F.col("_k")
-    te = k.getField("text_extracted")
     # host policy actions: 'deny' drops the host outright;
     # 'sample:NN' keeps a deterministic NN% of the host's urls
     # (crawl rebalancing — a hot host can be down-weighted without a
     # separate job; hash-of-url, so the same url always gets the same
     # fate across runs/resumes). Unknown actions fail OPEN.
-    sample_rate = F.when(
+    raw_rate = F.when(
         F.col("_host_action").startswith("sample:"),
         # try_cast: under ANSI a malformed rate ('sample:', 'sample:x')
         # would otherwise CAST_INVALID_INPUT-fail the whole job —
         # null rate takes the documented fail-open path instead
         F.split(F.col("_host_action"), ":").getItem(1).try_cast("int"),
     )
+    # between(0,100): an out-of-range rate ('sample:-5') is malformed
+    # and must fail OPEN like the non-castable ones — without the
+    # bound, pmod(...) >= -5 is true for every url and the whole host
+    # silently drops (fail-CLOSED, the opposite of the contract)
+    sample_rate = F.when(raw_rate.between(0, 100), raw_rate)
     sampled_out = sample_rate.isNotNull() & (
         F.pmod(F.xxhash64(F.col("url")), F.lit(100)) >= sample_rate
     )
+    # rows already condemned by host policy skip the QA kernel — the
+    # job's most expensive stage — entirely: a Zipf-head host being
+    # down-weighted can be a double-digit share of the crawl, and its
+    # verdict is decided by the first two when() branches below. The
+    # kernel sees (null, null) and returns its no-content struct, so
+    # condemned rows carry null qa metrics (documented trade-off).
+    condemned = F.coalesce(
+        (F.col("_host_action") == "deny") | sampled_out, F.lit(False)
+    )
+    # html crosses the boundary only for rows that need extraction
+    text_in = F.when(~condemned, F.col("text"))
+    html_in = F.when(F.col("text").isNull() & ~condemned, F.col("html"))
+    df = pages.withColumn("_k", qa_kernel_udf(text_in, html_in))
+
+    k = F.col("_k")
+    te = k.getField("text_extracted")
     drop_reason = (
         F.when(F.col("_host_action") == "deny", "host_deny")
         .when(sampled_out, "host_sampled")

@@ -115,3 +115,23 @@ def test_malformed_sample_action_fails_open(spark, pages_path):
     a = {r["url"]: r["drop_reason"] for r in base.select("url", "drop_reason").collect()}
     b = {r["url"]: r["drop_reason"] for r in out.select("url", "drop_reason").collect()}
     assert a == b  # no crash, no behavior change
+
+
+def test_out_of_range_sample_rate_fails_open(spark, pages_path):
+    """'sample:-5' / 'sample:150' are malformed and must fail OPEN like
+    the non-castable rates — pre-fix, pmod(url) >= -5 silently dropped
+    the WHOLE host as host_sampled (fail-closed)."""
+    pages = spark.read.parquet(pages_path).drop("_case")
+    hot = (
+        pages.select(F.try_parse_url("url", F.lit("HOST")).alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    )
+    rules = spark.createDataFrame(
+        [(hot, "sample:-5"), ("other.example", "sample:150")],
+        ["host", "action"],
+    )
+    out = apply_pipeline(pages, host_rules=rules, repartition_to=0)
+    base = apply_pipeline(pages, repartition_to=0)
+    a = {r["url"]: r["drop_reason"] for r in base.select("url", "drop_reason").collect()}
+    b = {r["url"]: r["drop_reason"] for r in out.select("url", "drop_reason").collect()}
+    assert a == b

@@ -177,3 +177,18 @@ def test_counters_sum_over_all_batches(spark, pages, tmp_path):
     )
     assert res["counters"]["n_docs"] == pages.count()
     assert 0 < res["counters"]["n_kept"] <= res["counters"]["n_docs"]
+
+
+def test_empty_batch_is_ok_not_failed(spark, tmp_path):
+    """A successfully-written EMPTY batch (zero rows → parquet dir with
+    only _SUCCESS) must mark its buckets 'ok' with zero counters, not
+    'failed' via UNABLE_TO_INFER_SCHEMA on the counter read-back."""
+    from eugl_spark.sources.pages import PAGES_SCHEMA
+
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    out = str(tmp_path / "empty_run")
+    res = run_with_resume(spark, empty, out, run_id="r1")
+    assert res["failed"] == 0
+    rows = read_lineage(spark, out).collect()
+    assert rows and all(r["status"] == "ok" for r in rows)
+    assert all(r["n_input"] == 0 for r in rows)

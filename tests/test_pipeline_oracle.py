@@ -117,3 +117,39 @@ def test_qa_metrics_match(joined):
             if not _eq(got, want):
                 bad.append((row["url"], stage, field, got, want))
     assert not bad, bad[:10]
+
+
+def test_unicode_regex_classes_agree_across_stacks(spark):
+    """The RE_FLAGS (re.ASCII) contract: \\d/\\s/\\b must mean the
+    same thing in the Python kernel/oracle as in Catalyst (Java regex)
+    and DuckDB (RE2), which are ASCII by default. Probe with the two
+    divergence cases the review found: an IP in Arabic-Indic digits
+    (Python-Unicode \\d would scrub it, Java/RE2 never can) and
+    nbsp-laced text (Python-Unicode \\s would exempt \\xa0 from the
+    symbol count, Java/RE2 count it)."""
+    from pyspark.sql import functions as F
+
+    from eugl_spark import oracle
+    from eugl_spark.functions import heuristics as H
+    from eugl_spark.functions.scrub import scrub
+
+    texts = [
+        "server at \u0661\u0669\u0662.\u0661\u0666\u0668.\u0660.\u0661 down",
+        "plain at 192.168.0.1 down",
+        "nbsp\xa0seams\xa0everywhere\xa0here",
+        "email x@y.com and tel +1 555 0100 123",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = (
+        df.select(
+            "text",
+            scrub(F.col("text")).alias("scrubbed"),
+            H.symbol_ratio(F.col("text")).alias("symr"),
+        )
+        .toPandas()
+        .set_index("text")
+    )
+    for t in texts:
+        assert got.loc[t, "scrubbed"] == oracle.scrub_text(t), t
+        want_symr = len(oracle._SYMBOL.findall(t)) / len(t)
+        assert got.loc[t, "symr"] == pytest.approx(want_symr), t

@@ -20,6 +20,10 @@ CASES = [
     ("https://example.com/a/b///", "https://example.com/a/b"),
     ("https://example.com/", "https://example.com/"),  # root slash kept
     ("https://example.com/a?", "https://example.com/a"),
+    # a trailing slash INSIDE a query value is part of the value —
+    # stripping it would merge genuinely different urls
+    ("https://example.com/search?q=a/", "https://example.com/search?q=a/"),
+    ("https://example.com/p?path=/x/y/", "https://example.com/p?path=/x/y/"),
     # path/query case is significant — only scheme+host folds
     ("http://EXAMPLE.com/CaseSensitive?Q=V", "http://example.com/CaseSensitive?Q=V"),
     # --- param-boundary anchoring (round-3 ADVICE regression cases) ---
