@@ -176,7 +176,13 @@ def generate_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
     for i in range(n_rows):
         case = names[case_idx[i]]
         text, true_lang = _make_text(case, rng)
-        # claimed lang is wrong for wrong_lang rows and ~5% of the rest
+        # claimed lang is wrong for wrong_lang rows; ~5% of the rest
+        # get a RANDOM claim drawn from (zz, null, en, de) — the draw
+        # can coincide with the row's true lang (1-in-4 for an 'en'
+        # row), so the effectively-WRONG claim rate is ~3.5-4%, not the
+        # full 5%. Kept as-is (fixing the draw would churn every
+        # golden/cached corpus for no functional gain); sized analyses
+        # should count langid-vs-claimed disagreement, not assume 5%.
         if case == "wrong_lang":
             lang = "en"
         elif rng.rand() < 0.05:

@@ -30,10 +30,12 @@ from pyspark.sql import DataFrame
 def checkpoint_df(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and truncate its lineage (see module doc)."""
     sc = df.sparkSession.sparkContext
-    try:
-        ckpt_dir = sc.getCheckpointDir()
-    except Exception:
-        ckpt_dir = None
+    # getCheckpointDir() returns None when unset — it does not raise.
+    # No blanket except here: swallowing a real JVM error would
+    # silently downgrade every superstep of a cluster run to
+    # executor-local blocks, forfeiting exactly the failure-recovery
+    # property a configured checkpoint dir asked for.
+    ckpt_dir = sc.getCheckpointDir()
     if ckpt_dir:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -33,6 +33,8 @@ def _canon(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # before int(v): int(inf) raises — the gate
+            return "Inf" if v > 0 else "-Inf"  # must DIFF, not crash
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return repr(v)
@@ -61,7 +63,21 @@ def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> dict:
         "diff": None,
     }
     if not (res["rows_match"] and res["cols_match"]):
-        res["diff"] = f"cols got={sorted(got.columns)} want={sorted(want.columns)}"
+        parts = [
+            f"rows got={len(got)} want={len(want)}",
+            f"cols got={sorted(got.columns)} want={sorted(want.columns)}",
+        ]
+        # on a pure count mismatch with equal columns, show a sample of
+        # the rows one side has and the other lacks — pointing the
+        # developer at matching column lists explains nothing
+        if res["cols_match"] and not res["rows_match"]:
+            g, w = normalize(got), normalize(want)
+            gk = {tuple(r) for r in g.itertuples(index=False)}
+            wk = {tuple(r) for r in w.itertuples(index=False)}
+            extra, missing = list(gk - wk)[:3], list(wk - gk)[:3]
+            parts.append(f"sample extra-in-got={extra}")
+            parts.append(f"sample missing-from-got={missing}")
+        res["diff"] = "; ".join(parts)
         return res
     g, w = normalize(got), normalize(want)
     eq = g.eq(w)
@@ -84,8 +100,10 @@ def run_one(spark, con, name: str, sf_dir: str) -> dict:
         return {
             "rows": len(got),
             "oracle_rows": None,
-            "rows_match": len(got) >= 0,
-            "cols_match": True,
+            # a rows-only query that produced ZERO rows is a failed
+            # check, not a vacuous pass — len >= 0 could never fail
+            "rows_match": len(got) > 0,
+            "cols_match": len(got.columns) > 0,
             "values_match": None,
             "diff": "rows-only (no SQL oracle)",
         }

@@ -14,6 +14,9 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
+# SparkContexts this process has already shipped the package zip to
+_SHIPPED_CONTEXTS: set[int] = set()
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make eugl_spark importable on Python workers.
@@ -24,9 +27,18 @@ def _ship_package(spark: SparkSession) -> None:
     addPyFile it, so pandas-UDF closures that reference module globals
     (model tables in eugl_spark.models.*) deserialize on any worker,
     local or cluster.
+
+    Idempotent per (process, SparkContext): getOrCreate() returns the
+    same session to every get_spark() call in a long-lived process
+    (pytest, notebooks), and a second addPyFile of the same path with
+    changed bytes raises; re-zipping each call also re-pays a full
+    package walk and stacks duplicate atexit hooks.
     """
     import atexit
 
+    ctx_id = id(spark.sparkContext)
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     # per-process path: bench --scaling runs two Spark processes
     # concurrently; a shared zip could be truncated by one while the
@@ -44,6 +56,7 @@ def _ship_package(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_CONTEXTS.add(ctx_id)
 
 
 def get_spark(
