@@ -49,6 +49,25 @@ def q(name: str, sql: Optional[str], doc: str = ""):
     return deco
 
 
+def _md5_int_sql(expr: str) -> str:
+    """md5-hex-prefix-15 → int64: THE hash-to-integer recipe, shared
+    (in both dialects) by fingerprints, MinHash element hashes, the
+    split/epoch percent hashes and the k-means sampler — one
+    definition so a width change can't desynchronize the copies.
+
+    '||', NOT concat(): DuckDB's concat SKIPS null arguments, so a
+    null input became CAST('0x' AS BIGINT) — a conversion ERROR that
+    killed the whole oracle query — while the Spark twin
+    null-propagates to a null hash (null source → split 'test').
+    || null-propagates in DuckDB, matching Spark exactly."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _md5_int_col(col: Column) -> Column:
+    """Spark twin of _md5_int_sql."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in C.EN_STOPWORDS) + ")"
 # \x0B is explicit: Java/Python \s includes vertical tab, RE2's does
 # not — without it DuckDB counts \x0B as a symbol and symbol_ratio
@@ -290,21 +309,15 @@ def qf_token_stats(spark, sf_dir):
 
 @q(
     "qf_fingerprint",
-    """
-    SELECT doc_id,
-      CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp
+    f"""
+    SELECT doc_id, {_md5_int_sql('text')} AS fp
     FROM documents WHERE text IS NOT NULL
     """,
     "Document fingerprinting via stable content hash",
 )
 def qf_fingerprint(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return df.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("fp"),
-    )
+    return df.select("doc_id", _md5_int_col(F.col("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -499,9 +512,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 from eugl_spark.models.signatures import MH_AB as _MH_AB  # noqa: E402
 from eugl_spark.models.signatures import MH_P as _MH_P  # noqa: E402
 
-_MH_HASH_SQL = (
-    "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % " + str(_MH_P)
-)
+_MH_HASH_SQL = f"{_md5_int_sql('s')} % {_MH_P}"
 _MH_MINS_SQL = ", ".join(
     f"min(({a} * hm + {b}) % {_MH_P}) AS mh{i}"
     for i, (a, b) in enumerate(_MH_AB)
@@ -566,7 +577,9 @@ def dedup_minhash_bands(spark, sf_dir):
     )
 
 
-_N_SIMHASH_BITS = 48
+# imported from the kernel module — the SQL oracle's bit count must
+# track the kernel's (same single-source rule as MH_AB/MH_P below)
+from eugl_spark.models.signatures import SIMHASH_BITS as _N_SIMHASH_BITS
 
 
 @q(
@@ -733,9 +746,10 @@ def ann_cosine_pairs(spark, sf_dir):
     )
 
 
-# Random-hyperplane LSH: 8 deterministic integer hyperplanes
+# Random-hyperplane LSH: deterministic integer hyperplanes
 # h[j][d] = ((j*131 + d*31) % 17) - 8; bucket = sign-bit int.
-_N_PLANES = 8
+# Plane count imported from the kernel module (single source).
+from eugl_spark.models.embedding_kernels import N_PLANES as _N_PLANES
 
 
 def _plane_dot_sql(j: int) -> str:
@@ -1701,8 +1715,17 @@ def pipeline_docs_verdict(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pages = docs.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit("/d/"), F.col("doc_id")
+        # concat_ws, not concat: concat NULL-PROPAGATES, so a
+        # null-source doc would get url=NULL → doc_id=NULL on the
+        # engine side while the oracle (which never builds a url)
+        # keeps the real doc_id — a parity break on exactly the
+        # null-source inputs the rest of the file defends against
+        F.concat_ws(
+            "",
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/d/"),
+            F.col("doc_id"),
         ).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
@@ -1716,17 +1739,35 @@ def pipeline_docs_verdict(spark, sf_dir):
     )
 
 
-def ensure_entry_corpus() -> str:
-    """Materialize the deterministic fixture corpus the end-to-end
-    pipeline queries (and their DuckDB oracles) read. Cached by path;
-    called from both the Spark query and `__spark_entry__.oracle_sql`
-    so either side may run first."""
+def _entry_corpus_path() -> str:
+    """Fixture path, keyed by a hash of the GENERATOR source: a stale
+    cache from an older eugl_spark.corpus would silently serve both
+    engine and oracle (parity stays green while the new corpus cases
+    are never exercised) — content-version the filename instead.
+    ONE definition consumed by both the Spark query and the SQL twin."""
+    import hashlib
+    import inspect
     import os
     import tempfile
 
+    from eugl_spark import corpus
+
+    ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"eugl_entry_pages_{ver}.parquet"
+    )
+
+
+def ensure_entry_corpus() -> str:
+    """Materialize the deterministic fixture corpus the end-to-end
+    pipeline queries (and their DuckDB oracles) read. Cached by
+    generator-versioned path; called from both the Spark query and
+    `__spark_entry__.oracle_sql` so either side may run first."""
+    import os
+
     from eugl_spark.corpus import write_pages_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
+    path = _entry_corpus_path()
     if not os.path.exists(path):
         # write-then-rename: concurrent processes (pytest + bench) may
         # race on the shared fixture path; a direct write would let one
@@ -1756,10 +1797,7 @@ def _corpus_sql() -> str:
     """End-to-end oracle: read the raw fixture corpus (html binary +
     optional text), run extraction AND every model/heuristic stage in
     SQL, emit the drop-reason histogram."""
-    import os
-    import tempfile
-
-    path = os.path.join(tempfile.gettempdir(), "eugl_entry_pages.parquet")
+    path = _entry_corpus_path()
     pages = f"""WITH pages AS (
       SELECT url AS doc_id, lang, NULL AS source,
         CASE WHEN text IS NOT NULL THEN text ELSE {_extract_sql()} END AS text
@@ -1950,8 +1988,13 @@ def ann_knn_label_vote(spark, sf_dir):
     )
     from eugl_spark.models.embedding_kernels import cosine_udf
 
+    # broadcast the 20-row QUERY side and stream the big candidate
+    # table past it — broadcasting `cand` would collect the whole
+    # embeddings table to the driver (OOM at any realistic scale)
+    # even though the computation is O(|qs|·n)
     pairs = (
-        qs.crossJoin(F.broadcast(cand))
+        F.broadcast(qs)
+        .crossJoin(cand)
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn("cos", cosine_udf(F.col("qv"), F.col("nv")))
     )
@@ -2023,8 +2066,9 @@ def rollup_order_revenue(spark, sf_dir):
 # IVF-style ANN: assign each vector to its nearest deterministic
 # pseudo-centroid (integer formula → identical in both engines), then
 # exact search only within the query's cell — the coarse-quantizer
-# pattern of inverted-file indexes.
-_N_CENTROIDS = 8
+# pattern of inverted-file indexes. Centroid count imported from the
+# kernel module (single source).
+from eugl_spark.models.embedding_kernels import N_CENTROIDS as _N_CENTROIDS
 
 
 def _centroid_dot_sql(c: int, v: str) -> str:
@@ -2035,7 +2079,7 @@ def _centroid_dot_sql(c: int, v: str) -> str:
     )
 
 
-def _cell_sql() -> str:
+def _cell_sql() -> tuple[str, str]:
     dots = ", ".join(
         f"{_centroid_dot_sql(c, 'e')} AS d{c}" for c in range(_N_CENTROIDS)
     )
@@ -2243,11 +2287,11 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 def _md5_pct_sql(expr: str) -> str:
-    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT) % 100"
+    return f"{_md5_int_sql(expr)} % 100"
 
 
 def _md5_pct_col(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % 100
+    return _md5_int_col(col) % 100
 
 
 _SPLIT_HASH_SQL = _md5_pct_sql("source")
@@ -3258,13 +3302,7 @@ def _kmeans_centroids(
             )
         train = checkpoint_df(
             emb.filter(
-                F.conv(
-                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
-                    16,
-                    10,
-                ).cast("long")
-                % 10_000
-                < bp
+                _md5_int_col(F.col("vec_id").cast("string")) % 10_000 < bp
             )
         )
     centroids = (

@@ -260,10 +260,14 @@ def _write_patho_docs(tmp_path_factory, texts, name) -> str:
                 # (> 2^31): the mixture-weight rule extracts and casts
                 # the trailing digit run, and a plain INT cast aborts
                 # under ANSI / errors in DuckDB — try_cast must degrade
-                # it to the default weight in BOTH engines (ADVICE r3)
+                # it to the default weight in BOTH engines (ADVICE r3).
+                # A third family is NULL: every per-source op (split
+                # hash, budget window, host diversity, the verdict
+                # url) must treat null-source docs identically in both
+                # engines, not drop or null-propagate them
                 "source": pa.array(
                     [
-                        ["s0", "crawl-20240101120000", "s2"][i % 3]
+                        ["s0", "crawl-20240101120000", None][i % 3]
                         for i, _ in texts
                     ],
                     pa.string(),
