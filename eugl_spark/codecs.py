@@ -45,9 +45,15 @@ MAX_PNG_PIXELS = 16_000_000
 
 def decode_wav(payload: bytes) -> np.ndarray:
     """PCM WAV → float32 (n_frames, n_channels) in [-1, 1)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        ch, sw, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch, sw, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # the stdlib wave module leaks its own error types on corrupt
+        # RIFF — the codec contract is ValueError for a recognized-
+        # but-corrupt payload (fuzz-pinned in test_codecs)
+        raise ValueError(f"corrupt WAV: {type(e).__name__}: {e}") from e
     if sw == 1:  # unsigned 8-bit
         arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     elif sw == 2:  # signed little-endian 16-bit
@@ -85,6 +91,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP → uint8 (H, W, 3) RGB."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    try:
+        return _decode_bmp_inner(payload)
+    except (struct.error, IndexError) as e:
+        # truncated header → ValueError, per the codec error contract
+        raise ValueError(f"corrupt BMP: {type(e).__name__}: {e}") from e
+
+
+def _decode_bmp_inner(payload: bytes) -> np.ndarray:
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
     if hdr_size < 40:

@@ -307,3 +307,27 @@ def test_tiny_media_is_error_row_not_nan(spark):
     row = extract_features(media).collect()[0]
     assert row["feature"] is None
     assert row["error"] and "FEATURE_DIM" in row["error"]
+
+
+def test_sniff_decode_fuzz_error_contract():
+    """Arbitrary bytes — including format-magic prefixes followed by
+    garbage — must only ever raise ValueError (recognized-but-corrupt)
+    or NotImplementedError (unrecognized), never leak an internal
+    error type out of the per-row error channel."""
+    rng = _rng(99)
+    prefixes = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff\xe0",
+        b"BM",
+        b"P5\n",
+        b"P6\n",
+        b"RIFF1234WAVE",
+    ]
+    for trial in range(200):
+        pre = prefixes[trial % len(prefixes)]
+        body = bytes(rng.randint(0, 256, rng.randint(0, 64), "u1"))
+        try:
+            codecs.sniff_decode(pre + body)
+        except (ValueError, NotImplementedError):
+            pass
