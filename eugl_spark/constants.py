@@ -112,6 +112,32 @@ MAX_DUP_LINE_FRACTION: float = 0.30   # 1 - distinct_lines/lines
 MIN_STOPWORD_FRACTION: float = 0.06   # C4-style stop-word gate (en)
 MIN_WORDS: int = 10
 
+# Gopher-style repetition-profile thresholds (Rae et al. 2021, table
+# A1 values for the analogous rules): characters inside repeated
+# lines / the single most frequent word-2-gram / repeated word-3-gram
+# occurrences. Used by the qf_repetition_profile query only — the
+# main verdict keeps the coarser MAX_DUP_LINE_FRACTION gate above.
+MAX_DUP_LINE_CHAR_FRACTION: float = 0.20
+MAX_TOP_BIGRAM_CHAR_FRACTION: float = 0.20
+MAX_DUP_TRIGRAM_FRACTION: float = 0.18
+
+# DSIR-style importance resampling (Xie et al. 2023, hashed-unigram
+# variant): bucket count fixes the feature space so the log-ratio LUT
+# is a constant-size broadcast regardless of corpus size; alpha is
+# the add-alpha smoothing for unseen buckets.
+DSIR_BUCKETS: int = 1024
+DSIR_ALPHA: float = 0.5
+DSIR_TARGET_LANG: str = "en"
+DSIR_TOP_K: int = 25
+
+# Bloom-filter decontamination (scale path of the exact 5-gram
+# semi-join): the bit-position set is bounded by BLOOM_BITS regardless
+# of eval-set size, so the probe side is always broadcastable; 2
+# salted hash positions per gram. False positives over-remove
+# (decontamination-safe); false negatives are impossible.
+BLOOM_BITS: int = 1 << 20
+BLOOM_SALTS: tuple[str, ...] = ("bloom1", "bloom2")
+
 # Drop-reason precedence = execution gating order (cheap → expensive;
 # mirrors the reference's land/ocean cheap-first branch,
 # /root/reference/eugl/gqa/tasks.py:152-163).

@@ -320,6 +320,304 @@ def qf_fingerprint(spark, sf_dir):
     return df.select("doc_id", _md5_int_col(F.col("text")).alias("fp"))
 
 
+_REP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+        string_split(text, chr(10)) AS lines,
+        regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), nw AS (
+      SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+             AS BIGINT) AS nwc
+      FROM base
+    ), ln AS (
+      SELECT doc_id,
+        sum(cnt * length(g)) AS tot_chars,
+        sum(CASE WHEN cnt > 1 THEN cnt * length(g) END) AS dup_chars
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM
+              (SELECT doc_id, unnest(lines) AS g FROM base)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, max(struct_pack(cov := cov, g := g)) AS top
+      FROM (SELECT doc_id, g, count(*) * (length(g) - 1) AS cov FROM
+              (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+               FROM base)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), tg AS (
+      SELECT doc_id, sum(cnt) AS tot3, count(*) AS dis3
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM
+              (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+               FROM base)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), fr AS (
+      SELECT b.doc_id,
+        CASE WHEN ln.tot_chars > 0 THEN
+          round(coalesce(ln.dup_chars, 0) / ln.tot_chars, 6)
+        END AS dup_line_char_frac,
+        CASE WHEN nw.nwc > 0 AND bg.top IS NOT NULL THEN
+          round((bg.top).cov / nw.nwc, 6)
+        END AS top_bigram_char_frac,
+        CASE WHEN tg.tot3 > 0 THEN
+          round(1.0 - tg.dis3 / tg.tot3, 6)
+        END AS dup_trigram_frac
+      FROM base b
+      JOIN nw ON nw.doc_id = b.doc_id
+      LEFT JOIN ln ON ln.doc_id = b.doc_id
+      LEFT JOIN bg ON bg.doc_id = b.doc_id
+      LEFT JOIN tg ON tg.doc_id = b.doc_id
+    )
+    SELECT doc_id, dup_line_char_frac, top_bigram_char_frac,
+      dup_trigram_frac,
+      (coalesce(dup_line_char_frac > {C.MAX_DUP_LINE_CHAR_FRACTION}, false)
+       OR coalesce(top_bigram_char_frac
+                   > {C.MAX_TOP_BIGRAM_CHAR_FRACTION}, false)
+       OR coalesce(dup_trigram_frac
+                   > {C.MAX_DUP_TRIGRAM_FRACTION}, false)) AS repetitive
+    FROM fr
+    """
+
+
+@q(
+    "qf_repetition_profile",
+    _REP_SQL,
+    "Gopher-style repetition profile per document (Rae et al. 2021): "
+    "characters inside repeated lines, characters covered by the "
+    "single most frequent word-2-gram, repeated word-3-gram "
+    "occurrence fraction, plus the disjunctive 'repetitive' verdict. "
+    "The per-class-histogram analog of the reference's per-granule "
+    "metric dict, /root/reference/eugl/metadata.py:115-155.",
+)
+def qf_repetition_profile(spark, sf_dir):
+    """Single-pass shape: lines, 2-grams and 3-grams explode from ONE
+    tokenization as a tagged union (k ∈ ln/bg/tg), so the corpus text
+    is read and tokenized exactly once; one partial-aggregating
+    groupBy(doc_id, k, gram) then one groupBy(doc_id) pivot — two
+    slim shuffles total, no re-tokenization per rule family (the
+    _lc_train lesson applied at design time). Tie-break for the top
+    bigram is max(struct(coverage, gram)) in both engines."""
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(n_shuf, F.col("doc_id"))
+    )
+    base = df.select(
+        "doc_id",
+        F.split("text", "\n").alias("lines"),
+        _once(H.tokens(F.col("text"))).alias("toks"),
+    )
+
+    def _grams(n: int) -> Column:
+        # sequence(1, 0) descends under ANSI — guard short docs to an
+        # empty gram list instead (same trap as _shingles_from)
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", i + k) for k in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _tag(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(kind).alias("k"), g.alias("g")
+            ),
+        )
+
+    nwc = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # nwc MUST become an attribute in a projection BELOW the explode:
+    # a multi-expression select around explode() puts its non-generator
+    # expressions in the Project ABOVE the Generate, re-running the
+    # O(|toks|) interpreted aggregate once PER EXPLODED GRAM — O(n²)
+    # per doc, minutes on a 10 MB page (caught by .explain: step
+    # "Project [aggregate(toks,…) AS nwc]" sat over the Generate).
+    base = base.select("doc_id", "lines", "toks", nwc.alias("nwc"))
+    elems = F.concat(
+        _tag("ln", F.col("lines")),
+        _tag("bg", _grams(2)),
+        _tag("tg", _grams(3)),
+    )
+    ex = base.select("doc_id", "nwc", F.explode(elems).alias("e"))
+    g1 = ex.groupBy(
+        "doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g")
+    ).agg(F.count("*").alias("cnt"), F.first("nwc").alias("nwc"))
+    k, cnt = F.col("k"), F.col("cnt")
+    out = g1.groupBy("doc_id").agg(
+        F.sum(
+            F.when((k == "ln") & (cnt > 1), cnt * F.length("g"))
+        ).alias("dup_chars"),
+        F.sum(F.when(k == "ln", cnt * F.length("g"))).alias("tot_chars"),
+        F.max(
+            F.when(
+                k == "bg",
+                F.struct(
+                    (cnt * (F.length("g") - 1)).alias("cov"), F.col("g")
+                ),
+            )
+        ).alias("top"),
+        F.sum(F.when(k == "tg", cnt)).alias("tot3"),
+        F.count(F.when(k == "tg", True)).alias("dis3"),
+        F.first("nwc").alias("nwc"),
+    )
+    fr = out.select(
+        "doc_id",
+        F.when(
+            F.col("tot_chars") > 0,
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0))
+                / F.col("tot_chars"),
+                6,
+            ),
+        ).alias("dup_line_char_frac"),
+        F.when(
+            (F.col("nwc") > 0) & F.col("top").isNotNull(),
+            F.round(F.col("top.cov") / F.col("nwc"), 6),
+        ).alias("top_bigram_char_frac"),
+        F.when(
+            F.col("tot3") > 0,
+            F.round(F.lit(1.0) - F.col("dis3") / F.col("tot3"), 6),
+        ).alias("dup_trigram_frac"),
+    )
+    rep = (
+        F.coalesce(
+            F.col("dup_line_char_frac") > C.MAX_DUP_LINE_CHAR_FRACTION,
+            F.lit(False),
+        )
+        | F.coalesce(
+            F.col("top_bigram_char_frac") > C.MAX_TOP_BIGRAM_CHAR_FRACTION,
+            F.lit(False),
+        )
+        | F.coalesce(
+            F.col("dup_trigram_frac") > C.MAX_DUP_TRIGRAM_FRACTION,
+            F.lit(False),
+        )
+    )
+    return fr.withColumn("repetitive", rep)
+
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), dc AS (
+      SELECT doc_id, lang, {_md5_int_sql('w')} % {C.DSIR_BUCKETS} AS bk,
+        count(*) AS c
+      FROM toks GROUP BY doc_id, lang, bk
+    ), rr AS (
+      SELECT bk, sum(c) AS rc FROM dc GROUP BY bk
+    ), tt AS (
+      SELECT bk, sum(c) AS tc FROM dc
+      WHERE lang = '{C.DSIR_TARGET_LANG}' GROUP BY bk
+    ), tot AS (
+      SELECT sum(c) AS nr,
+        coalesce(sum(CASE WHEN lang = '{C.DSIR_TARGET_LANG}' THEN c END),
+                 0) AS nt
+      FROM dc
+    ), lw AS (
+      SELECT rr.bk,
+        ln((coalesce(tt.tc, 0) + {C.DSIR_ALPHA})
+           / (tot.nt + {C.DSIR_ALPHA} * {C.DSIR_BUCKETS}))
+        - ln((rr.rc + {C.DSIR_ALPHA})
+             / (tot.nr + {C.DSIR_ALPHA} * {C.DSIR_BUCKETS})) AS w
+      FROM rr LEFT JOIN tt ON tt.bk = rr.bk CROSS JOIN tot
+    ), sc AS (
+      SELECT dc.doc_id, round(sum(dc.c * lw.w), 6) AS dsir_score
+      FROM dc JOIN lw ON lw.bk = dc.bk GROUP BY dc.doc_id
+    )
+    SELECT doc_id, dsir_score FROM (
+      SELECT doc_id, dsir_score,
+        row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+      FROM sc) WHERE rn <= {C.DSIR_TOP_K}
+    """
+
+
+@q(
+    "dsir_importance",
+    _DSIR_SQL,
+    "DSIR-style data selection (Xie et al. 2023): hashed-unigram "
+    "bucket counts, add-alpha log-likelihood ratio of the target "
+    "(lang='en') vs raw distribution, per-document importance score, "
+    "top-k selection. The threshold-scoring analog of the reference's "
+    "per-scene quality ranking, /root/reference/eugl/gqa/tasks.py.",
+)
+def dsir_importance(spark, sf_dir):
+    """Scale shape: text is tokenized and exploded exactly ONCE into
+    per-(doc, bucket) counts; the raw/target bucket tables, the scalar
+    totals, and the log-ratio LUT all derive from that aggregate, so
+    no branch re-scans the corpus. The LUT is a fixed DSIR_BUCKETS-row
+    broadcast — the score join never shuffles the corpus side."""
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(n_shuf, F.col("doc_id"))
+    )
+    toks = df.select(
+        "doc_id", "lang", F.explode(H.tokens(F.col("text"))).alias("w")
+    )
+    dc = (
+        toks.select(
+            "doc_id",
+            "lang",
+            (_md5_int_col(F.col("w")) % C.DSIR_BUCKETS).alias("bk"),
+        )
+        .groupBy("doc_id", "lang", "bk")
+        .agg(F.count("*").alias("c"))
+    )
+    # one materialization: rr/tt/tot/sc all branch off dc — without it
+    # each branch re-runs the scan+tokenize+explode subtree
+    dc = checkpoint_df(dc)
+    is_t = F.col("lang") == C.DSIR_TARGET_LANG
+    rr = dc.groupBy("bk").agg(F.sum("c").alias("rc"))
+    tt = dc.filter(is_t).groupBy("bk").agg(F.sum("c").alias("tc"))
+    tot = dc.agg(
+        F.sum("c").alias("nr"),
+        F.coalesce(F.sum(F.when(is_t, F.col("c"))), F.lit(0)).alias("nt"),
+    )
+    a, b = float(C.DSIR_ALPHA), C.DSIR_ALPHA * C.DSIR_BUCKETS
+    lw = (
+        rr.join(tt, "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + a)
+                    / (F.col("nt") + b)
+                )
+                - F.log((F.col("rc") + a) / (F.col("nr") + b))
+            ).alias("w"),
+        )
+    )
+    sc = (
+        dc.join(F.broadcast(lw), "bk")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("w")), 6).alias("dsir_score"))
+    )
+    # global top-k as TakeOrderedAndProject, not a one-task window
+    return (
+        sc.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(C.DSIR_TOP_K)
+        .select("doc_id", "dsir_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite over `documents`
 # ---------------------------------------------------------------------------
@@ -1839,6 +2137,112 @@ def pipeline_full_corpus(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+def _para_dedup_sql() -> str:
+    """Corpus-level paragraph-dedup oracle over the raw fixture pages.
+
+    Same keep rule as the Spark plan: a line is kept iff it is blank
+    after normalization OR its (url, pos) is the globally-first
+    occurrence of its normalized hash — first by url, then by
+    position, matching min(struct(url, pos)).
+    """
+    path = _entry_corpus_path()
+    norm = "lower(trim(par))"
+    return f"""
+    WITH pages AS (
+      SELECT url, text FROM read_parquet('{path}') WHERE text IS NOT NULL
+    ), ls AS (
+      SELECT url, string_split(text, chr(10)) AS lines FROM pages
+    ), ex AS (
+      SELECT url, unnest(range(0, len(lines))) AS pos, unnest(lines) AS par
+      FROM ls
+    ), hx AS (
+      SELECT url, pos, par, {norm} AS norm, {_md5_int_sql(norm)} AS h
+      FROM ex
+    ), dup AS (
+      SELECT h, min(struct_pack(url := url, pos := pos)) AS owner
+      FROM hx WHERE norm <> '' GROUP BY h HAVING count(*) > 1
+    ), fl AS (
+      SELECT hx.url, hx.pos, hx.par,
+        (hx.norm = '' OR d.h IS NULL
+         OR (hx.url = (d.owner).url AND hx.pos = (d.owner).pos)) AS keep
+      FROM hx LEFT JOIN dup d ON d.h = hx.h
+    )
+    SELECT url,
+      count(*) FILTER (WHERE keep) AS kept_lines,
+      count(*) - count(*) FILTER (WHERE keep) AS removed_lines,
+      coalesce(string_agg(par, chr(10) ORDER BY pos) FILTER (WHERE keep),
+               '') AS clean_text
+    FROM fl GROUP BY url
+    """
+
+
+@q(
+    "dedup_paragraphs",
+    _para_dedup_sql(),
+    "CCNet-style corpus-level paragraph dedup: explode pages into "
+    "lines, hash normalized lines, keep only the globally-first "
+    "occurrence of each repeated line (blank lines always survive), "
+    "rebuild the cleaned page. The structural analog of the "
+    "reference's per-granule contiguity masking (keep the pixels/"
+    "lines that carry signal, drop the repeated frame), "
+    "/root/reference/eugl/metadata.py:115-155.",
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Scale shape: the ownership frame aggregates map-side to
+    (hash → owner, count) and is filtered to count>1 BEFORE the join,
+    so its size tracks the boilerplate family count, not the corpus —
+    at web scale that is the small side (AQE broadcasts it locally;
+    on a cluster it stays a slim shuffle while the fat paragraph text
+    shuffles exactly twice: once by hash for the keep decision, once
+    by url for the rebuild — the canonical CCNet shape). The rebuild
+    collect_list gathers only surviving lines."""
+    pages = (
+        spark.read.parquet(ensure_entry_corpus())
+        .filter(F.col("text").isNotNull())
+        .select("url", "text")
+    )
+    ex = pages.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "par")
+    )
+    norm = F.lower(F.trim(F.col("par")))
+    hx = ex.select(
+        "url", "pos", "par", norm.alias("norm"), _md5_int_col(norm).alias("h")
+    )
+    dup = (
+        hx.filter(F.col("norm") != "")
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("url", "pos")).alias("owner"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "owner")
+    )
+    keep = (
+        (F.col("norm") == "")
+        | F.col("owner").isNull()
+        | (
+            (F.col("url") == F.col("owner.url"))
+            & (F.col("pos") == F.col("owner.pos"))
+        )
+    )
+    fl = hx.join(dup, "h", "left").withColumn("keep", keep)
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "par"))
+    return fl.groupBy("url").agg(
+        F.count(F.when(F.col("keep"), True)).alias("kept_lines"),
+        (F.count("*") - F.count(F.when(F.col("keep"), True))).alias(
+            "removed_lines"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["par"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
 @q(
     "fallback_chain_supplier",
     """
@@ -2375,9 +2779,100 @@ def decontaminate_train(spark, sf_dir):
     )
 
 
-def _decontaminate_from(df: DataFrame) -> DataFrame:
-    """(doc_id, split, toks) → contaminated-train doc_ids; the capstone
-    feeds its single materialized tokens frame here."""
+def _bloom_pos_sql(salt: str) -> str:
+    """Salted gram → bit position, shared hash recipe (_md5_int_sql)."""
+    expr = f"'{salt}|' || g"
+    return f"{_md5_int_sql(expr)} % {C.BLOOM_BITS}"
+
+
+def _bloom_pos_col(salt: str) -> Column:
+    return (
+        _md5_int_col(F.concat_ws("|", F.lit(salt), F.col("g")))
+        % C.BLOOM_BITS
+    )
+
+
+_BLOOM_SQL = f"""
+    WITH grams AS ({_DECON_GRAMS_SQL}),
+    labeled AS (
+      SELECT doc_id, g,
+        CASE WHEN {_SPLIT_HASH_SQL} < 80 THEN 'train'
+             WHEN {_SPLIT_HASH_SQL} < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM grams
+    ), bits AS (
+      SELECT DISTINCT p FROM (
+        SELECT {_bloom_pos_sql(C.BLOOM_SALTS[0])} AS p FROM labeled
+        WHERE split = 'test'
+        UNION ALL
+        SELECT {_bloom_pos_sql(C.BLOOM_SALTS[1])} AS p FROM labeled
+        WHERE split = 'test')
+    )
+    SELECT DISTINCT doc_id FROM (
+      SELECT doc_id, {_bloom_pos_sql(C.BLOOM_SALTS[0])} AS p1,
+        {_bloom_pos_sql(C.BLOOM_SALTS[1])} AS p2
+      FROM labeled WHERE split = 'train')
+    WHERE p1 IN (SELECT p FROM bits) AND p2 IN (SELECT p FROM bits)
+    """
+
+
+@q(
+    "decontaminate_bloom",
+    _BLOOM_SQL,
+    "Bloom-filter decontamination: the scale-path twin of "
+    "decontaminate_train. Eval-split 5-grams set k=2 salted bit "
+    "positions in a fixed BLOOM_BITS space; a train doc is flagged "
+    "iff any of its grams hits all positions. Over-removal-only "
+    "errors (false positives), never under-removal.",
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Why this exists next to the exact semi-join: the exact op
+    shuffles the full distinct test-gram STRING set against the train
+    grams; the Bloom probe side is ≤ BLOOM_BITS ints no matter how
+    large the eval set grows, so it is always broadcastable — the
+    train grams never shuffle at all. Cost of the guarantee: a
+    quantified false-positive rate, which for decontamination only
+    over-removes (pinned superset-of-exact by test)."""
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    labeled = _decon_labeled_from(
+        df.select(
+            "doc_id",
+            _split_col().alias("split"),
+            _once(H.tokens(F.col("text"))).alias("toks"),
+        )
+    )
+    te = labeled.filter(F.col("split") == "test")
+    bits = (
+        te.select(
+            F.explode(
+                F.array(*[_bloom_pos_col(s) for s in C.BLOOM_SALTS])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    tr = labeled.filter(F.col("split") == "train").select(
+        "doc_id",
+        _bloom_pos_col(C.BLOOM_SALTS[0]).alias("p1"),
+        _bloom_pos_col(C.BLOOM_SALTS[1]).alias("p2"),
+    )
+    b1 = bits.select(F.col("p").alias("p1"), F.lit(True).alias("m1"))
+    b2 = bits.select(F.col("p").alias("p2"), F.lit(True).alias("m2"))
+    return (
+        tr.join(F.broadcast(b1), "p1", "left")
+        .join(F.broadcast(b2), "p2", "left")
+        .filter(F.col("m1").isNotNull() & F.col("m2").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _decon_labeled_from(df: DataFrame) -> DataFrame:
+    """(doc_id, split, toks) → checkpointed (doc_id, split, g) distinct
+    5-grams for the train/test splits — shared by the exact semi-join
+    and the Bloom twin."""
     df = df.filter(
         F.size("toks") >= _DECON_N  # cheap pre-shuffle filter (see _shingles)
     )
@@ -2389,13 +2884,19 @@ def _decontaminate_from(df: DataFrame) -> DataFrame:
             ),
         )
     )
-    labeled = (
+    return (
         df.select("doc_id", "split", F.explode(grams).alias("g"))
         # val-split grams are read by neither join side — don't
         # explode/shuffle/checkpoint ~10% of the grams for nothing
         .filter(F.col("split") != "val")
         .transform(checkpoint_df)  # consumed by both join sides
     )
+
+
+def _decontaminate_from(df: DataFrame) -> DataFrame:
+    """(doc_id, split, toks) → contaminated-train doc_ids; the capstone
+    feeds its single materialized tokens frame here."""
+    labeled = _decon_labeled_from(df)
     tr = labeled.filter(F.col("split") == "train").select("doc_id", "g")
     te = labeled.filter(F.col("split") == "test").select(
         F.col("g").alias("g2")
@@ -3727,6 +4228,14 @@ def build_training_corpus(
 # ---------------------------------------------------------------------------
 
 _SNAPSHOT_TAIL = [
+    # three long-stable events ops (driver-green r01–r03) demoted in
+    # round 4 to keep the first-50 window closed over every family
+    # flagship after dedup_paragraphs / qf_repetition_profile /
+    # dsir_importance joined the registry
+    "events_json_extract",
+    "events_spatial_bins",
+    "events_transition_matrix",
+    "events_hourly_agg",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

@@ -67,6 +67,10 @@ FLAGSHIPS = [
     "sigma_clip_quantity",
     "udf_langid_documents",
     "udf_perplexity_documents",
+    # round-4 additions
+    "dedup_paragraphs",
+    "qf_repetition_profile",
+    "dsir_importance",
 ]
 
 

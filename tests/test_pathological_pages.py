@@ -185,6 +185,9 @@ _DOC_TEXTS += [
 ]
 
 _DOC_QUERIES = [
+    "qf_repetition_profile",
+    "dsir_importance",
+    "decontaminate_bloom",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_simhash",

@@ -174,3 +174,25 @@ def test_capstone_base_single_tokenization_plan(spark):
             if needle in ln and "Generate" not in ln
         ]
         assert not extra, p
+
+
+def test_repetition_profile_nwc_below_explode(spark, sf_dir):
+    """qf_repetition_profile's nwc (an O(|toks|) interpreted aggregate
+    HOF) must be an attribute BELOW the gram-union explode. A
+    multi-expression select around explode() parks its non-generator
+    expressions in the Project ABOVE the Generate — re-running the
+    aggregate once per exploded gram, O(n²) per doc (a 10 MB page hung
+    for minutes until .explain exposed the placement)."""
+    df = REGISTRY["qf_repetition_profile"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg_at = [i for i, ln in enumerate(lines) if "aggregate(" in ln]
+    gen_at = [
+        i
+        for i, ln in enumerate(lines)
+        if "Generate explode(concat(" in ln
+    ]
+    assert agg_at and gen_at, plan
+    # optimizedPlan prints top-down: deeper (earlier-executed) nodes
+    # have LARGER line indices, so "below the explode" = after it
+    assert min(agg_at) > max(gen_at), plan

@@ -275,3 +275,24 @@ def test_build_training_corpus_budget_knob(spark, sf_dir):
     # boundary rule: spent-before < cap for every kept doc
     for _, r in small.iterrows():
         assert r.cum_tokens is not None
+
+
+def test_bloom_decontamination_superset_and_broadcast(spark, sf_dir):
+    """The Bloom twin may only OVER-remove: its flagged set must
+    contain every exactly-contaminated doc (false negatives are
+    impossible by construction), and its probe side must be planned as
+    broadcast joins — the whole point of the bounded bit space is that
+    the train grams never shuffle."""
+    exact = set(
+        r.doc_id
+        for r in REGISTRY["decontaminate_train"].spark(spark, sf_dir).collect()
+    )
+    bloom_df = REGISTRY["decontaminate_bloom"].spark(spark, sf_dir)
+    bloom = set(r.doc_id for r in bloom_df.collect())
+    assert exact <= bloom, exact - bloom
+    # FP budget: with 2^20 bits and a sf0.01-scale gram set the
+    # expected FP count is ~0; anything above 5% of train docs means
+    # the hash recipe or bit space regressed
+    assert len(bloom - exact) <= max(2, len(exact) // 2)
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
