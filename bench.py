@@ -54,6 +54,9 @@ HEADLINE = [
     "window_running_total",
     "corpus_mixture_sample",
     "corpus_build_train",
+    "qf_repetition_profile",
+    "dsir_importance",
+    "decontaminate_bloom",
 ]
 
 
@@ -191,6 +194,22 @@ def main_bench() -> None:
                 lambda q=REGISTRY[name].spark: q(spark, SF_DIR).count(),
             )
         )
+    # paragraph dedup over the SCALED pages corpus (the registry entry
+    # is pinned to the 2k-row oracle fixture; benching that would time
+    # a constant-size input)
+    def _para_scaled():
+        from pyspark.sql import functions as F
+
+        from eugl_spark.plans.queries import dedup_paragraphs_from
+
+        pg = (
+            spark.read.parquet(pages)
+            .filter(F.col("text").isNotNull())
+            .select("url", "text")
+        )
+        return dedup_paragraphs_from(pg).count()
+
+    jobs.append(("dedup_paragraphs_scaled", _para_scaled))
     jobs.append(
         (
             "corpus_build_train_sf03",

@@ -2201,6 +2201,13 @@ def dedup_paragraphs(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .select("url", "text")
     )
+    return dedup_paragraphs_from(pages)
+
+
+def dedup_paragraphs_from(pages: DataFrame) -> DataFrame:
+    """(url, text) → (url, kept_lines, removed_lines, clean_text);
+    library surface so callers (and the bench) can run the same plan
+    over any pages frame, not just the oracle fixture."""
     ex = pages.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "par")
     )
