@@ -415,20 +415,6 @@ def qf_repetition_profile(spark, sf_dir):
         _once(H.tokens(F.col("text"))).alias("toks"),
     )
 
-    def _grams(n: int) -> Column:
-        # sequence(1, 0) descends under ANSI — guard short docs to an
-        # empty gram list instead (same trap as _shingles_from)
-        return F.when(
-            F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at("toks", i + k) for k in range(n)],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     def _tag(kind: str, arr: Column) -> Column:
         return F.transform(
             arr,
@@ -449,8 +435,8 @@ def qf_repetition_profile(spark, sf_dir):
     base = base.select("doc_id", "lines", "toks", nwc.alias("nwc"))
     elems = F.concat(
         _tag("ln", F.col("lines")),
-        _tag("bg", _grams(2)),
-        _tag("tg", _grams(3)),
+        _tag("bg", _ngram_arr("toks", 2)),
+        _tag("tg", _ngram_arr("toks", 3)),
     )
     ex = base.select("doc_id", "nwc", F.explode(elems).alias("e"))
     g1 = ex.groupBy(
@@ -669,28 +655,38 @@ def _once(col) -> Column:
     return F.explode(F.array(col))
 
 
+def _ngram_arr(toks, n: int) -> Column:
+    """THE guarded word-n-gram builder — one definition (like
+    _md5_int_sql for hashing) shared by shingles, decontamination
+    grams and the repetition profile, so the space-joined recipe and
+    the short-doc guard can't desynchronize across copies.
+
+    The guard is load-bearing: sequence(1, 0) yields a DESCENDING
+    [1, 0] and element_at(toks, 0) aborts the job under ANSI, so <n
+    tokens must short-circuit to an empty array. A null toks (null
+    text) also takes the otherwise-branch (size(null) fails >=)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingles_from(df: DataFrame) -> DataFrame:
     """(doc_id, toks) → (doc_id, sh): distinct word-3-gram shingles.
 
     Drop <3-token docs HERE, on the cheap `toks` column: they have no
-    shingles, so they can't appear in any downstream pair/signature.
-    Unguarded, sequence(1, 0) yields a DESCENDING [1, 0] and
-    element_at(toks, 0) aborts the job under ANSI. A null toks (null
-    text) fails the size() predicate too.
+    shingles, so they can't appear in any downstream pair/signature
+    (and the filtered rows never reach a shuffle).
     """
     df = df.filter(F.size("toks") >= 3)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("toks", i),
-                F.element_at("toks", i + 1),
-                F.element_at("toks", i + 2),
-            ),
-        )
+    return df.select(
+        "doc_id", F.array_distinct(_ngram_arr("toks", 3)).alias("sh")
     )
-    return df.select("doc_id", sh.alias("sh"))
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
@@ -2753,6 +2749,21 @@ _DECON_GRAMS_SQL = f"""
 """
 
 
+def _decon_input(spark, sf_dir) -> DataFrame:
+    """(doc_id, split, toks) prep shared by the exact and Bloom
+    decontamination paths — ONE definition so both see identical
+    grams (the superset-of-exact guarantee depends on it)."""
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    )
+    toks = H.tokens(F.col("text"))
+    # _once: same tokenizer-inlining barrier as _shingles
+    return df.select(
+        "doc_id", _split_col().alias("split"), _once(toks).alias("toks")
+    )
+
+
 @q(
     "decontaminate_train",
     f"""
@@ -2773,17 +2784,7 @@ _DECON_GRAMS_SQL = f"""
     "5-gram equi-join, no doc×doc comparison",
 )
 def decontaminate_train(spark, sf_dir):
-    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    df = df.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
-    )
-    toks = H.tokens(F.col("text"))
-    # _once: same tokenizer-inlining barrier as _shingles
-    return _decontaminate_from(
-        df.select(
-            "doc_id", _split_col().alias("split"), _once(toks).alias("toks")
-        )
-    )
+    return _decontaminate_from(_decon_input(spark, sf_dir))
 
 
 def _bloom_pos_sql(salt: str) -> str:
@@ -2840,17 +2841,7 @@ def decontaminate_bloom(spark, sf_dir):
     train grams never shuffle at all. Cost of the guarantee: a
     quantified false-positive rate, which for decontamination only
     over-removes (pinned superset-of-exact by test)."""
-    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    df = df.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
-    )
-    labeled = _decon_labeled_from(
-        df.select(
-            "doc_id",
-            _split_col().alias("split"),
-            _once(H.tokens(F.col("text"))).alias("toks"),
-        )
-    )
+    labeled = _decon_labeled_from(_decon_input(spark, sf_dir))
     te = labeled.filter(F.col("split") == "test")
     bits = (
         te.select(
@@ -2865,12 +2856,9 @@ def decontaminate_bloom(spark, sf_dir):
         _bloom_pos_col(C.BLOOM_SALTS[0]).alias("p1"),
         _bloom_pos_col(C.BLOOM_SALTS[1]).alias("p2"),
     )
-    b1 = bits.select(F.col("p").alias("p1"), F.lit(True).alias("m1"))
-    b2 = bits.select(F.col("p").alias("p2"), F.lit(True).alias("m2"))
     return (
-        tr.join(F.broadcast(b1), "p1", "left")
-        .join(F.broadcast(b2), "p2", "left")
-        .filter(F.col("m1").isNotNull() & F.col("m2").isNotNull())
+        tr.join(F.broadcast(bits.select(F.col("p").alias("p1"))), "p1")
+        .join(F.broadcast(bits.select(F.col("p").alias("p2"))), "p2")
         .select("doc_id")
         .distinct()
     )
@@ -2883,14 +2871,7 @@ def _decon_labeled_from(df: DataFrame) -> DataFrame:
     df = df.filter(
         F.size("toks") >= _DECON_N  # cheap pre-shuffle filter (see _shingles)
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("toks", i + k) for k in range(_DECON_N)]
-            ),
-        )
-    )
+    grams = F.array_distinct(_ngram_arr("toks", _DECON_N))
     return (
         df.select("doc_id", "split", F.explode(grams).alias("g"))
         # val-split grams are read by neither join side — don't
@@ -4235,10 +4216,10 @@ def build_training_corpus(
 # ---------------------------------------------------------------------------
 
 _SNAPSHOT_TAIL = [
-    # three long-stable events ops (driver-green r01–r03) demoted in
+    # four long-stable events ops (driver-green r01–r03) demoted in
     # round 4 to keep the first-50 window closed over every family
     # flagship after dedup_paragraphs / qf_repetition_profile /
-    # dsir_importance joined the registry
+    # dsir_importance / decontaminate_bloom joined the registry
     "events_json_extract",
     "events_spatial_bins",
     "events_transition_matrix",

@@ -71,6 +71,7 @@ FLAGSHIPS = [
     "dedup_paragraphs",
     "qf_repetition_profile",
     "dsir_importance",
+    "decontaminate_bloom",
 ]
 
 

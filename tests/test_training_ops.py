@@ -290,9 +290,10 @@ def test_bloom_decontamination_superset_and_broadcast(spark, sf_dir):
     bloom_df = REGISTRY["decontaminate_bloom"].spark(spark, sf_dir)
     bloom = set(r.doc_id for r in bloom_df.collect())
     assert exact <= bloom, exact - bloom
-    # FP budget: with 2^20 bits and a sf0.01-scale gram set the
-    # expected FP count is ~0; anything above 5% of train docs means
-    # the hash recipe or bit space regressed
+    # FP tripwire: with 2^20 bits and a sf0.01-scale gram set the
+    # expected FP count is ~0; the bound is deliberately loose (half
+    # the exact-contaminated count, floor 2) — it exists to catch a
+    # broken hash recipe / bit space, not to certify an FP rate
     assert len(bloom - exact) <= max(2, len(exact) // 2)
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
