@@ -57,6 +57,7 @@ HEADLINE = [
     "qf_repetition_profile",
     "dsir_importance",
     "decontaminate_bloom",
+    "qf_ppl_buckets",
 ]
 
 

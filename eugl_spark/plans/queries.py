@@ -1973,6 +1973,80 @@ def udf_perplexity_documents(spark, sf_dir):
     )
 
 
+@q(
+    "qf_ppl_buckets",
+    "WITH " + _PPL_CTE + """
+    , r AS (
+      SELECT p.doc_id, d.lang, round(p.nll, 6) AS nll
+      FROM ppl p JOIN documents d ON d.doc_id = p.doc_id
+      WHERE p.nll IS NOT NULL
+    ), k AS (
+      SELECT doc_id, lang, nll,
+        row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS n
+      FROM r
+    )
+    SELECT doc_id, lang, nll,
+      CASE WHEN rn * 3 <= n THEN 'head'
+           WHEN rn * 3 <= 2 * n THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket
+    FROM k
+    """,
+    "CCNet-style head/middle/tail corpus partition: per-language "
+    "perplexity RANK terciles (integer rank logic, no float "
+    "percentile thresholds — knife-edge-free across engines). The "
+    "per-class stratification analog of the reference's per-scene "
+    "quality binning, /root/reference/eugl/gqa/tasks.py.",
+)
+def qf_ppl_buckets(spark, sf_dir):
+    """Scale shape: the rank is computed two-phase (the approved
+    budget-sampler pattern) — coarse nll range buckets, per-(lang,
+    bucket) counts window-cumulated on the TINY aggregate, broadcast
+    offsets joined back, row_number only within (lang, bucket) — so
+    no single-task-per-language global sort. The bucket column is
+    execution-only: the emitted rank equals the global per-lang rank
+    regardless of granularity (pinned by the DuckDB oracle, which
+    ranks directly)."""
+    from eugl_spark.models.perplexity import perplexity_udf
+
+    df = _t(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    nll = F.nanvl(
+        perplexity_udf(toks, F.lit("en")), F.lit(None).cast("double")
+    )
+    r = (
+        df.select("doc_id", "lang", F.round(nll, 6).alias("nll"))
+        .filter(F.col("nll").isNotNull())
+        # nll = -(mix of negative logprobs) ≥ 0; 16 buckets per unit
+        .withColumn("bkt", F.floor(F.col("nll") * 16).cast("int"))
+    )
+    r = checkpoint_df(r)  # the pandas-UDF scorer runs once, not per branch
+    per = r.groupBy("lang", "bkt").agg(F.count("*").alias("c"))
+    wb = W.partitionBy("lang").orderBy("bkt")
+    offs = per.select(
+        "lang",
+        "bkt",
+        (F.sum("c").over(wb) - F.col("c")).alias("off"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+    ranked = r.join(F.broadcast(offs), ["lang", "bkt"]).withColumn(
+        "rn",
+        F.col("off")
+        + F.row_number().over(
+            W.partitionBy("lang", "bkt").orderBy("nll", "doc_id")
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
 # the full DROP_PRECEDENCE chain over the s/lid/ppl CTE columns —
 # shared by the per-doc verdict gate and the end-to-end corpus oracle
 _REASON_CASE_SQL = f"""CASE
@@ -4224,6 +4298,9 @@ _SNAPSHOT_TAIL = [
     "events_spatial_bins",
     "events_transition_matrix",
     "events_hourly_agg",
+    # embedding_stats demoted with qf_ppl_buckets' registration (same
+    # bookkeeping: window must stay exactly the first 50)
+    "embedding_stats",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

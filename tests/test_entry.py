@@ -72,6 +72,7 @@ FLAGSHIPS = [
     "qf_repetition_profile",
     "dsir_importance",
     "decontaminate_bloom",
+    "qf_ppl_buckets",
 ]
 
 

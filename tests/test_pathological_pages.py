@@ -185,6 +185,7 @@ _DOC_TEXTS += [
 ]
 
 _DOC_QUERIES = [
+    "qf_ppl_buckets",
     "qf_repetition_profile",
     "dsir_importance",
     "decontaminate_bloom",
@@ -230,6 +231,7 @@ def patho_docs_dir(tmp_path_factory) -> str:
 # is trimmed to 100 KB: every hard CASE survives, only the
 # oracle-side scale grind goes.
 _MODEL_ORACLE_QUERIES = {
+    "qf_ppl_buckets",
     "udf_langid_documents",
     "udf_perplexity_documents",
     "pipeline_docs_verdict",  # embeds both SQL models in its oracle
