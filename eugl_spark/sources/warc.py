@@ -68,3 +68,134 @@ def parse_warc_records(raw: DataFrame, content_col: str = "content") -> DataFram
         )
         .filter(F.col("url").isNotNull())
     )
+
+
+_TYPE_RE = r"(?m)^WARC-Type:[ \t]*(\S+)"
+
+
+def parse_crawl_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
+    """WARC-Type-aware twin of parse_warc_records for mixed crawls.
+
+    * ``response`` records (WARC/ARC raw crawl) → body becomes the
+      binary ``html`` column; the pipeline's extraction stage runs.
+    * ``conversion`` records (WET pre-extracted text) → body becomes
+      the ``text`` column directly; extraction is skipped (the
+      pipeline's text-IS-NOT-NULL fast path).
+    * every other type (warcinfo, request, metadata, revisit) is
+      dropped — they carry no document payload.
+
+    Same header-block-only extraction and null-URI drop contract as
+    parse_warc_records (payloads cannot spoof headers)."""
+    rec = F.decode(F.col(content_col), "UTF-8")
+    head = F.regexp_extract(rec, _HEAD_RE, 1)
+    rtype = F.lower(F.regexp_extract(head, _TYPE_RE, 1))
+    url = F.nullif(F.regexp_extract(head, _URI_RE, 1), F.lit(""))
+    ts = F.try_to_timestamp(
+        F.regexp_extract(head, _DATE_RE, 1), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+    )
+    body = F.regexp_extract(rec, _BODY_RE, 1)
+    return (
+        raw.select(
+            url.alias("url"),
+            ts.alias("warc_ts"),
+            F.when(rtype == "response", F.encode(body, "UTF-8")).alias(
+                "html"
+            ),
+            F.when(rtype == "conversion", body).alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            rtype.alias("_rtype"),
+        )
+        .filter(
+            F.col("url").isNotNull()
+            & F.col("_rtype").isin("response", "conversion")
+        )
+        .drop("_rtype")
+    )
+
+
+# A real WARC/WET file is MANY records concatenated; binaryFile gives
+# one blob per file, so splitting records out of the blob is the first
+# ingestion step. Two paths with one contract:
+_REC_BOUNDARY = r"(?m)(?=^WARC/1\.0\r\n)"
+
+
+def split_warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
+    """Native fast path: split the file blob on line-anchored
+    'WARC/1.0' boundaries (zero-width lookahead, JVM-side, parallel).
+
+    CAVEAT (documented, tested): a payload that itself contains
+    'WARC/1.0\\r\\n' at start-of-line mis-splits here — regex
+    boundaries cannot honor Content-Length. Use
+    split_warc_records_exact when records may embed WARC framing
+    (e.g. archived pages ABOUT the WARC format); the two paths agree
+    on every well-behaved file."""
+    rec = F.decode(F.col(content_col), "UTF-8")
+    parts = F.split(rec, _REC_BOUNDARY)
+    return (
+        raw.select(F.explode(parts).alias("_rec"))
+        .filter(F.col("_rec") != "")
+        .select(F.encode(F.col("_rec"), "UTF-8").alias("content"))
+    )
+
+
+def _split_blob_exact(b: bytes) -> list[bytes]:
+    """Content-Length-delimited record split (the WARC spec's actual
+    framing). Malformed framing resyncs to the next plausible
+    boundary instead of throwing — a corrupt file yields its parseable
+    prefix/suffix records, never an ingest abort (per-row fault
+    isolation, same contract as the codec layer)."""
+    import re as _re
+
+    recs: list[bytes] = []
+    i, n = 0, len(b)
+    while i < n:
+        if not b.startswith(b"WARC/1.0\r\n", i):
+            j = b.find(b"\r\nWARC/1.0\r\n", i)
+            if j < 0:
+                break
+            i = j + 2
+            continue
+        he = b.find(b"\r\n\r\n", i)
+        if he < 0:
+            break
+        header = b[i:he]
+        m = _re.search(
+            rb"(?mi)^Content-Length:[ \t]*(\d+)[ \t]*$", header, _re.ASCII
+        )
+        if m is None:
+            # headers without Content-Length: fall back to boundary
+            # scan for this one record
+            j = b.find(b"\r\nWARC/1.0\r\n", he)
+            end = n if j < 0 else j + 2
+            recs.append(b[i:end].rstrip(b"\r\n") + b"")
+            i = end
+            continue
+        end = min(he + 4 + int(m.group(1)), n)
+        recs.append(b[i:end])
+        i = end
+        while b.startswith(b"\r\n", i):
+            i += 2
+    return recs
+
+
+def split_warc_records_exact(
+    raw: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Spec-exact record split via per-file Content-Length parsing
+    (Arrow-batched mapInPandas — per-file sequential by necessity;
+    parallelism comes from the many-files axis, which is how crawl
+    dumps actually ship)."""
+    import pandas as pd
+
+    sub = raw.select(F.col(content_col).alias("content"))
+
+    def gen(batches):
+        for pdf in batches:
+            out: list[bytes] = []
+            for blob in pdf["content"]:
+                if blob is None:
+                    continue
+                out.extend(_split_blob_exact(bytes(blob)))
+            yield pd.DataFrame({"content": pd.Series(out, dtype=object)})
+
+    return sub.mapInPandas(gen, "content binary")

@@ -67,3 +67,140 @@ def test_warc_damaged_headers_cannot_capture_or_spoof(spark, tmp_path):
     rows = {r["url"]: r for r in pages.collect()}
     assert set(rows) == {"https://ok.example/z"}
     assert str(rows["https://ok.example/z"]["warc_ts"]).startswith("2024-03-01")
+
+
+def _wet_record(url: str, text: str, date="2024-03-01T12:00:00Z") -> bytes:
+    body = text.encode()
+    return (
+        f"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _resp_record(url: str, html: str, date="2024-03-01T12:00:00Z") -> bytes:
+    body = html.encode()
+    return (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _warcinfo_record() -> bytes:
+    body = b"software: test-crawler"
+    return (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def test_crawl_dispatch_wet_vs_response(spark, tmp_path):
+    """parse_crawl_records routes by WARC-Type: response → html
+    (extraction runs), conversion (WET) → text (extraction skipped),
+    warcinfo → dropped."""
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _resp_record("https://a.example/r", "<p>the day was good</p>")
+    )
+    (d / "b.warc").write_bytes(
+        _wet_record("https://b.example/w", "the night was better for all")
+    )
+    (d / "c.warc").write_bytes(_warcinfo_record())
+    pages = parse_crawl_records(read_raw_drops(spark, str(d), "*.warc"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://a.example/r", "https://b.example/w"}
+    a, b = rows["https://a.example/r"], rows["https://b.example/w"]
+    assert a["html"] is not None and a["text"] is None
+    assert b["html"] is None
+    assert b["text"] == "the night was better for all"
+
+
+def test_split_warc_records_both_paths_agree_on_clean_files(spark, tmp_path):
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records,
+        split_warc_records_exact,
+    )
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    blob = (
+        _warcinfo_record()
+        + b"\r\n\r\n"
+        + _resp_record("https://a.example/1", "<p>one of the best days</p>")
+        + b"\r\n\r\n"
+        + _wet_record("https://a.example/2", "two of the best nights here")
+        + b"\r\n\r\n"
+    )
+    (d / "f.warc").write_bytes(blob)
+    raw = read_raw_drops(spark, str(d), "*.warc")
+    fast = split_warc_records(raw)
+    exact = split_warc_records_exact(raw)
+    assert fast.count() == 3 and exact.count() == 3
+    # records parse identically through either split
+    for split in (fast, exact):
+        urls = {
+            r["url"] for r in parse_crawl_records(split).collect()
+        }
+        assert urls == {"https://a.example/1", "https://a.example/2"}
+
+
+def test_split_exact_honors_content_length_on_embedded_framing(spark, tmp_path):
+    """A WET page ABOUT the WARC format embeds 'WARC/1.0\\r\\n' at
+    start-of-line inside its payload. The Content-Length splitter must
+    keep it as ONE record with the full payload; the native boundary
+    splitter mis-splits it (the documented caveat)."""
+    from eugl_spark.sources.warc import (
+        split_warc_records,
+        split_warc_records_exact,
+    )
+
+    evil_payload = "a doc about warc:\r\nWARC/1.0\r\nis the magic header"
+    d = tmp_path / "evil"
+    d.mkdir()
+    blob = (
+        _wet_record("https://evil.example/doc", evil_payload)
+        + b"\r\n\r\n"
+        + _wet_record("https://ok.example/doc", "a normal page of text")
+        + b"\r\n\r\n"
+    )
+    (d / "f.warc").write_bytes(blob)
+    raw = read_raw_drops(spark, str(d), "*.warc")
+    exact = [bytes(r["content"]) for r in split_warc_records_exact(raw).collect()]
+    assert len(exact) == 2
+    assert any(b"is the magic header" in r for r in exact)
+    # the fast path splits the embedded boundary: 3 pieces, documented
+    assert split_warc_records(raw).count() == 3
+
+
+def test_split_exact_resyncs_past_corrupt_record(spark, tmp_path):
+    """A record with garbage framing must not take down the file: the
+    exact splitter skips to the next boundary and recovers the
+    following record."""
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records_exact,
+    )
+
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    blob = (
+        b"\xff\xfe garbage prefix, no boundary here\r\n"
+        + b"\r\n"
+        + b"WARC/1.0\r\nWARC-Type: conversion\r\nbroken-no-blank-line"
+        + b"\r\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+        + b"WARC-Target-URI: https://ok.example/after\r\n"
+        + b"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        + b"Content-Length: 21\r\n\r\n"
+        + b"recovered page text x"
+    )
+    (d / "f.warc").write_bytes(blob)
+    raw = read_raw_drops(spark, str(d), "*.warc")
+    split = split_warc_records_exact(raw)
+    urls = {r["url"]: r for r in parse_crawl_records(split).collect()}
+    assert "https://ok.example/after" in urls
+    assert urls["https://ok.example/after"]["text"] == "recovered page text x"
