@@ -2014,26 +2014,35 @@ def qf_ppl_buckets(spark, sf_dir):
     nll = F.nanvl(
         perplexity_udf(toks, F.lit("en")), F.lit(None).cast("double")
     )
+    # _lk: null-safe grouping twin of lang — the offsets REJOIN is an
+    # equi-join, whose null keys never match, so null-lang docs (the
+    # corpus generator emits them) would silently vanish while the
+    # oracle's PARTITION BY lang buckets them as their own group. A
+    # sentinel (no real lang collides with it) keeps the join total;
+    # the output still carries the original nullable lang.
+    _lk = F.coalesce(F.col("lang"), F.lit("\x00<null-lang>"))
     r = (
-        df.select("doc_id", "lang", F.round(nll, 6).alias("nll"))
+        df.select(
+            "doc_id", "lang", _lk.alias("_lk"), F.round(nll, 6).alias("nll")
+        )
         .filter(F.col("nll").isNotNull())
         # nll = -(mix of negative logprobs) ≥ 0; 16 buckets per unit
         .withColumn("bkt", F.floor(F.col("nll") * 16).cast("int"))
     )
     r = checkpoint_df(r)  # the pandas-UDF scorer runs once, not per branch
-    per = r.groupBy("lang", "bkt").agg(F.count("*").alias("c"))
-    wb = W.partitionBy("lang").orderBy("bkt")
+    per = r.groupBy("_lk", "bkt").agg(F.count("*").alias("c"))
+    wb = W.partitionBy("_lk").orderBy("bkt")
     offs = per.select(
-        "lang",
+        "_lk",
         "bkt",
         (F.sum("c").over(wb) - F.col("c")).alias("off"),
-        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+        F.sum("c").over(W.partitionBy("_lk")).alias("n"),
     )
-    ranked = r.join(F.broadcast(offs), ["lang", "bkt"]).withColumn(
+    ranked = r.join(F.broadcast(offs), ["_lk", "bkt"]).withColumn(
         "rn",
         F.col("off")
         + F.row_number().over(
-            W.partitionBy("lang", "bkt").orderBy("nll", "doc_id")
+            W.partitionBy("_lk", "bkt").orderBy("nll", "doc_id")
         ),
     )
     return ranked.select(

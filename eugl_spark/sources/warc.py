@@ -33,6 +33,27 @@ _HEAD_RE = r"(?s)^(.*?)\r\n\r\n"
 _BODY_RE = r"(?s)\r\n\r\n(.*)$"
 
 
+def _record_fields(content_col: str):
+    """(url, ts, body, head) expressions — THE header extraction
+    chain, shared by both parse_* fronts so the hardening contract
+    lives once. Header fields come from the HEADER BLOCK only (text
+    before the first blank line): a crawled page whose BODY contains
+    a line like 'WARC-Target-URI: http://evil/' (e.g. a page about
+    the WARC format) must not be able to spoof the record's url or
+    date — and a record MISSING its URI header must be dropped even
+    when its payload happens to contain one. try_to_timestamp: a
+    damaged/malformed WARC-Date must yield a null warc_ts, not abort
+    the ingest job under ANSI."""
+    rec = F.decode(F.col(content_col), "UTF-8")
+    head = F.regexp_extract(rec, _HEAD_RE, 1)
+    url = F.nullif(F.regexp_extract(head, _URI_RE, 1), F.lit(""))
+    ts = F.try_to_timestamp(
+        F.regexp_extract(head, _DATE_RE, 1), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+    )
+    body = F.regexp_extract(rec, _BODY_RE, 1)
+    return url, ts, body, head
+
+
 def parse_warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
     """raw(content: binary, ...) → pages(url, warc_ts, html, text, lang).
 
@@ -42,25 +63,10 @@ def parse_warc_records(raw: DataFrame, content_col: str = "content") -> DataFram
     observe() if needed); text/lang are null — the pipeline's
     extraction path fills them.
     """
-    rec = F.decode(F.col(content_col), "UTF-8")
-    # header fields are extracted from the HEADER BLOCK only (the text
-    # before the first blank line): a crawled page whose BODY contains
-    # a line like 'WARC-Target-URI: http://evil/' (e.g. a page about
-    # the WARC format) must not be able to spoof the record's url or
-    # date — and a record MISSING its URI header must be dropped even
-    # when its payload happens to contain one
-    head = F.regexp_extract(rec, _HEAD_RE, 1)
-    url = F.regexp_extract(head, _URI_RE, 1)
-    # try_to_timestamp: a damaged record with a missing/malformed
-    # WARC-Date must yield a null warc_ts, not abort the ingest job
-    # under ANSI (same tolerance contract as the missing-URI drop).
-    ts = F.try_to_timestamp(
-        F.regexp_extract(head, _DATE_RE, 1), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
-    )
-    body = F.regexp_extract(rec, _BODY_RE, 1)
+    url, ts, body, _ = _record_fields(content_col)
     return (
         raw.select(
-            F.nullif(url, F.lit("")).alias("url"),
+            url.alias("url"),
             ts.alias("warc_ts"),
             F.encode(body, "UTF-8").alias("html"),
             F.lit(None).cast("string").alias("text"),
@@ -85,15 +91,10 @@ def parse_crawl_records(raw: DataFrame, content_col: str = "content") -> DataFra
       dropped — they carry no document payload.
 
     Same header-block-only extraction and null-URI drop contract as
-    parse_warc_records (payloads cannot spoof headers)."""
-    rec = F.decode(F.col(content_col), "UTF-8")
-    head = F.regexp_extract(rec, _HEAD_RE, 1)
+    parse_warc_records (payloads cannot spoof headers — the shared
+    _record_fields chain)."""
+    url, ts, body, head = _record_fields(content_col)
     rtype = F.lower(F.regexp_extract(head, _TYPE_RE, 1))
-    url = F.nullif(F.regexp_extract(head, _URI_RE, 1), F.lit(""))
-    ts = F.try_to_timestamp(
-        F.regexp_extract(head, _DATE_RE, 1), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
-    )
-    body = F.regexp_extract(rec, _BODY_RE, 1)
     return (
         raw.select(
             url.alias("url"),
@@ -155,19 +156,31 @@ def _split_blob_exact(b: bytes) -> list[bytes]:
                 break
             i = j + 2
             continue
+        nb = b.find(b"\r\nWARC/1.0\r\n", i)
         he = b.find(b"\r\n\r\n", i)
-        if he < 0:
-            break
+        if he < 0 or (0 <= nb < he):
+            # no blank line before the next boundary: corrupt record —
+            # resync to the next boundary instead of swallowing the
+            # following good record's headers into this one
+            if nb < 0:
+                break
+            i = nb + 2
+            continue
         header = b[i:he]
+        # [ \t\r]*$: header lines end \r\n and Python's $ only
+        # matches before \n — without \r in the class the regex only
+        # matched a Content-Length that happened to be the LAST header
+        # line, silently degrading the exact splitter to boundary
+        # scanning for normal Common-Crawl header order
         m = _re.search(
-            rb"(?mi)^Content-Length:[ \t]*(\d+)[ \t]*$", header, _re.ASCII
+            rb"(?mi)^Content-Length:[ \t]*(\d+)[ \t\r]*$", header, _re.ASCII
         )
         if m is None:
             # headers without Content-Length: fall back to boundary
             # scan for this one record
             j = b.find(b"\r\nWARC/1.0\r\n", he)
             end = n if j < 0 else j + 2
-            recs.append(b[i:end].rstrip(b"\r\n") + b"")
+            recs.append(b[i:end].rstrip(b"\r\n"))
             i = end
             continue
         end = min(he + 4 + int(m.group(1)), n)

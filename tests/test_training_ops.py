@@ -297,3 +297,48 @@ def test_bloom_decontamination_superset_and_broadcast(spark, sf_dir):
     assert len(bloom - exact) <= max(2, len(exact) // 2)
     plan = bloom_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ppl_buckets_null_lang_parity(spark, tmp_path):
+    """Null-lang docs must be bucketed as their own group (the
+    oracle's PARTITION BY lang semantics), not silently dropped by
+    the two-phase rank's equi-join — the corpus generator emits null
+    langs, the committed sf fixtures just happen not to."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eugl_spark.plans.compare import compare_frames
+
+    texts = [
+        f"the water of time is a question for the people round {i} "
+        f"and the day was good for all of them there"
+        for i in range(20)
+    ]
+    d = str(tmp_path / "nulllang")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [None if i % 3 == 0 else "en" for i in range(20)],
+                    pa.string(),
+                ),
+                "source": pa.array(["s0"] * 20, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    q = REGISTRY["qf_ppl_buckets"]
+    pdf = q.spark(spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    res = compare_frames(pdf, con.sql(q.sql).df())
+    assert res["values_match"], res["diff"]
+    assert len(pdf) == 20  # nothing dropped
+    assert pdf["lang"].isna().sum() == 7  # null-lang group survived

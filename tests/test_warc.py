@@ -204,3 +204,70 @@ def test_split_exact_resyncs_past_corrupt_record(spark, tmp_path):
     urls = {r["url"]: r for r in parse_crawl_records(split).collect()}
     assert "https://ok.example/after" in urls
     assert urls["https://ok.example/after"]["text"] == "recovered page text x"
+
+
+def _record_hdr_order(url: str, text: str, rtype="conversion") -> bytes:
+    """Content-Length mid-header (the normal Common-Crawl layout) —
+    regression for the $-vs-\\r\\n regex trap."""
+    body = text.encode()
+    return (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {url}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"WARC-Date: 2024-03-01T12:00:00Z\r\nContent-Type: text/plain\r\n\r\n"
+    ).encode() + body
+
+
+def test_split_exact_content_length_mid_header(spark, tmp_path):
+    """Content-Length followed by more header lines (ends \\r\\n, not
+    end-of-slice) must still engage length-delimited framing — with
+    the broken $-anchored regex the exact splitter silently degraded
+    to boundary scanning and mis-split embedded framing."""
+    from eugl_spark.sources.warc import split_warc_records_exact
+
+    evil_payload = "a doc about warc:\r\nWARC/1.0\r\nis the magic header"
+    d = tmp_path / "midhdr"
+    d.mkdir()
+    blob = (
+        _record_hdr_order("https://evil.example/doc", evil_payload)
+        + b"\r\n\r\n"
+        + _record_hdr_order("https://ok.example/doc", "a normal page")
+        + b"\r\n\r\n"
+    )
+    (d / "f.warc").write_bytes(blob)
+    raw = read_raw_drops(spark, str(d), "*.warc")
+    recs = [bytes(r["content"]) for r in split_warc_records_exact(raw).collect()]
+    assert len(recs) == 2, recs
+    assert any(b"is the magic header" in r for r in recs)
+
+
+def test_split_exact_corrupt_record_cannot_steal_next_payload(spark, tmp_path):
+    """A corrupt record WITH its own URI but no blank line must not
+    swallow the next good record's headers/payload (mis-attributing
+    the good payload to the corrupt record's url) — the header-end
+    search is bounded by the next boundary and resyncs."""
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records_exact,
+    )
+
+    d = tmp_path / "steal"
+    d.mkdir()
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://broken.example/bad\r\n"
+        b"no-blank-line-ever"
+        + b"\r\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+        + b"WARC-Target-URI: https://ok.example/good\r\n"
+        + b"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        + b"Content-Length: 16\r\n\r\n"
+        + b"good page text x"
+    )
+    (d / "f.warc").write_bytes(blob)
+    raw = read_raw_drops(spark, str(d), "*.warc")
+    rows = {
+        r["url"]: r
+        for r in parse_crawl_records(split_warc_records_exact(raw)).collect()
+    }
+    assert set(rows) == {"https://ok.example/good"}
+    assert rows["https://ok.example/good"]["text"] == "good page text x"
+    assert rows["https://ok.example/good"]["html"] is None
