@@ -260,7 +260,16 @@ def _write_patho_docs(tmp_path_factory, texts, name) -> str:
             {
                 "doc_id": pa.array([i for i, _ in texts], pa.int64()),
                 "text": pa.array([t for _, t in texts], pa.string()),
-                "lang": pa.array(["en"] * len(texts), pa.string()),
+                # a NULL-lang family (the corpus generator emits null
+                # langs): every lang-consuming op — the DSIR target
+                # filter, the ppl-bucket partition, the verdict chain —
+                # must treat null-lang docs identically in both
+                # engines, not drop or null-propagate them (the
+                # qf_ppl_buckets equi-join drop was exactly this bug)
+                "lang": pa.array(
+                    [None if i % 7 == 2 else "en" for i, _ in texts],
+                    pa.string(),
+                ),
                 # one source family carries a 14-digit numeric suffix
                 # (> 2^31): the mixture-weight rule extracts and casts
                 # the trailing digit run, and a plain INT cast aborts
