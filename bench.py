@@ -97,6 +97,41 @@ def run_pipeline_once(spark, pages_path: str) -> int:
     return int(row["n"])
 
 
+def warc_corpus_dir(sf: float) -> str:
+    """Multi-record WET/WARC files for the ingestion bench (cached):
+    sf-scaled record count spread over many files — the axis real
+    crawl dumps parallelize on."""
+    n_files = max(8, int(sf * 400))
+    recs_per_file = 50
+    out = os.path.join(
+        tempfile.gettempdir(), f"eugl_warc_{n_files}x{recs_per_file}"
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(f"{out}.tmp", exist_ok=True)
+    words = ("the water of time is a question for the people and the "
+             "day was good for all of them there in the house ").split()
+    for f in range(n_files):
+        parts = []
+        for r in range(recs_per_file):
+            body = " ".join(
+                words[(f + r + k) % len(words)] for k in range(160)
+            ).encode()
+            parts.append(
+                (
+                    f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    f"WARC-Target-URI: https://w{f}.example/p/{r}\r\n"
+                    f"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                + body
+            )
+        with open(os.path.join(f"{out}.tmp", f"c{f:04d}.warc"), "wb") as fh:
+            fh.write(b"\r\n\r\n".join(parts) + b"\r\n\r\n")
+    os.replace(f"{out}.tmp", out)
+    return out
+
+
 def capstone_sf1_dir(mult: int = 10) -> str:
     """A 10×-scale documents table for the capstone bench (cached).
 
@@ -211,6 +246,31 @@ def main_bench() -> None:
         return dedup_paragraphs_from(pg).count()
 
     jobs.append(("dedup_paragraphs_scaled", _para_scaled))
+
+    # crawl ingestion: multi-record file split → header parse → count,
+    # both splitter paths (native regex boundary vs spec-exact
+    # Content-Length mapInPandas) over the same sf-scaled file set
+    warc_dir = warc_corpus_dir(sf)
+
+    def _ingest(split_fn):
+        from eugl_spark.sources.pages import read_raw_drops
+        from eugl_spark.sources.warc import parse_crawl_records
+
+        raw = read_raw_drops(spark, warc_dir, "*.warc")
+        return parse_crawl_records(split_fn(raw)).count()
+
+    def _ingest_native():
+        from eugl_spark.sources.warc import split_warc_records
+
+        return _ingest(split_warc_records)
+
+    def _ingest_exact():
+        from eugl_spark.sources.warc import split_warc_records_exact
+
+        return _ingest(split_warc_records_exact)
+
+    jobs.append(("warc_ingest_native", _ingest_native))
+    jobs.append(("warc_ingest_exact", _ingest_exact))
     jobs.append(
         (
             "corpus_build_train_sf03",

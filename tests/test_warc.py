@@ -271,3 +271,36 @@ def test_split_exact_corrupt_record_cannot_steal_next_payload(spark, tmp_path):
     assert set(rows) == {"https://ok.example/good"}
     assert rows["https://ok.example/good"]["text"] == "good page text x"
     assert rows["https://ok.example/good"]["html"] is None
+
+
+def test_split_exact_roundtrip_fuzz():
+    """Property: for ANY payload bytes (including embedded 'WARC/1.0'
+    framing, \\r\\n runs, non-UTF-8 bytes), a file built from
+    Content-Length-framed records is split back into exactly those
+    records by _split_blob_exact. Driver-side check of the pure
+    splitter (the Spark plumbing is covered by the integration
+    tests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eugl_spark.sources.warc import _split_blob_exact
+
+    payload_st = st.binary(min_size=0, max_size=200)
+
+    def rec(url_i: int, payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://f.example/{url_i}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"Content-Type: text/plain\r\n\r\n"
+        ).encode() + payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(payloads=st.lists(payload_st, min_size=1, max_size=6))
+    def check(payloads):
+        records = [rec(i, p) for i, p in enumerate(payloads)]
+        blob = b"\r\n\r\n".join(records) + b"\r\n\r\n"
+        got = _split_blob_exact(blob)
+        assert got == records
+
+    check()
