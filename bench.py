@@ -58,6 +58,7 @@ HEADLINE = [
     "dsir_importance",
     "decontaminate_bloom",
     "qf_ppl_buckets",
+    "qf_score_calibration",
 ]
 
 

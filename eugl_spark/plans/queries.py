@@ -3437,6 +3437,45 @@ def qf_linear_score(spark, sf_dir):
     )
 
 
+@q(
+    "qf_score_calibration",
+    f"""
+    SELECT bin, count(*) AS n,
+      round(avg(CASE WHEN rule_keep THEN 1.0 ELSE 0.0 END), 6)
+        AS rule_keep_rate,
+      round(avg(score), 6) AS mean_score
+    FROM (
+      SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+        score, rule_keep
+      FROM ({{}})
+    ) GROUP BY bin
+    """.format(REGISTRY["qf_linear_score"].sql),
+    "Calibration table for the trained quality classifier: per score "
+    "decile, doc count, rule-label keep rate and mean score — the "
+    "'is the score monotone in quality' dashboard the reference's "
+    "threshold-tuning workflow implies (eugl/gqa/tasks.py thresholds).",
+)
+def qf_score_calibration(spark, sf_dir):
+    """Composes the scored frame (broadcast-weights, no extra corpus
+    pass) into a 10-row decile aggregate — map-side partial agg, one
+    slim shuffle."""
+    scored = qf_linear_score(spark, sf_dir)
+    bin_ = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return (
+        scored.select(
+            bin_.alias("bin"), "score", "rule_keep"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.when(F.col("rule_keep"), 1.0).otherwise(0.0)), 6
+            ).alias("rule_keep_rate"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer, reduced to the lookahead-free common
 # subset of Java-regex / RE2 (the real one's `\s+(?!\S)` can't run in
 # DuckDB): contractions, space-prefixed letter runs, digit runs,
@@ -4307,9 +4346,11 @@ _SNAPSHOT_TAIL = [
     "events_spatial_bins",
     "events_transition_matrix",
     "events_hourly_agg",
-    # embedding_stats demoted with qf_ppl_buckets' registration (same
-    # bookkeeping: window must stay exactly the first 50)
+    # embedding_stats / tpch_q1 demoted with qf_ppl_buckets' and
+    # qf_score_calibration's registrations (same bookkeeping: window
+    # must stay exactly the first 50; q3/q5 keep the join flagships)
     "embedding_stats",
+    "tpch_q1_pricing_summary",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

@@ -73,6 +73,7 @@ FLAGSHIPS = [
     "dsir_importance",
     "decontaminate_bloom",
     "qf_ppl_buckets",
+    "qf_score_calibration",
 ]
 
 

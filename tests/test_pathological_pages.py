@@ -206,6 +206,7 @@ _DOC_QUERIES = [
     "qf_token_stats",
     "qf_fingerprint",
     "qf_linear_score",
+    "qf_score_calibration",
     "split_train_val_test",
     "decontaminate_train",
     "udf_langid_documents",
