@@ -59,11 +59,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from eugl_spark.plans.queries import REGISTRY, ensure_entry_corpus
+    from eugl_spark.plans.queries import (
+        REGISTRY,
+        ensure_entry_corpus,
+        ensure_link_corpus,
+    )
 
-    # the end-to-end corpus oracle reads a deterministic fixture file;
-    # materialize it here too in case the driver runs SQL before Spark
+    # the end-to-end corpus and web-graph oracles read deterministic
+    # fixture files; materialize them here too in case the driver runs
+    # SQL before Spark
     ensure_entry_corpus()
+    ensure_link_corpus()
     return {
         name: qry.sql for name, qry in REGISTRY.items() if qry.sql is not None
     }

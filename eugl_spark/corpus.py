@@ -235,3 +235,92 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
     # 1 task no matter the cluster size (real CC tables are many files)
     pq.write_table(table, path, row_group_size=8192)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Link corpus: crawl-with-outlinks fixture for the web-graph family
+# (outlink extraction → host edge list → PageRank) and snapshot-recency
+# dedup. Same input_hint shape as `generate_pages`; kept separate so the
+# link-free pipeline fixture stays byte-stable.
+# ---------------------------------------------------------------------------
+
+LINK_N_HOSTS = 60
+
+
+def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
+    """Synthetic crawl pages whose html embeds anchor outlinks.
+
+    Structure (all deterministic in (n_rows, seed)):
+      * hosts follow a Zipf law (authority skew — a few hosts receive
+        most links, the adversarial case for link analysis);
+      * ~15% of rows are REVISITS of an earlier url at a strictly later
+        warc_ts (no two snapshots of one url share a timestamp), for
+        the keep-newest-snapshot dedup;
+      * each page embeds 0-8 anchors: mostly double-quoted absolute
+        https targets, plus deliberate negatives the extractor must
+        ignore — single-quoted hrefs, relative hrefs, mailto:.
+    """
+    rng = np.random.RandomState(seed)
+    host_w = 1.0 / np.arange(1, LINK_N_HOSTS + 1)
+    host_w /= host_w.sum()
+    n_pages = max(1, int(n_rows * 0.85))
+    page_host = rng.choice(LINK_N_HOSTS, size=n_pages, p=host_w)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for i in range(n_rows):
+        pid = i if i < n_pages else int(rng.randint(n_pages))
+        url = f"https://www.site{page_host[pid]}.example/p/{pid}"
+        anchors = []
+        for j in range(int(rng.randint(0, 9))):
+            th = int(rng.choice(LINK_N_HOSTS, p=host_w))
+            target = f"https://www.site{th}.example/p/{int(rng.randint(n_pages))}"
+            r = rng.rand()
+            if r < 0.08:  # single-quoted: outside the extraction contract
+                anchors.append(f"<a href='{target}'>t{j}</a>")
+            elif r < 0.14:  # relative: no host → dropped at host parse
+                anchors.append(f'<a href="/p/{int(rng.randint(n_pages))}">t{j}</a>')
+            elif r < 0.17:  # non-http scheme → dropped at host parse
+                anchors.append(f'<a href="mailto:u{j}@x.example">t{j}</a>')
+            else:
+                anchors.append(f'<a href="{target}">t{j}</a>')
+        body = " ".join(_chain("en", 20 + rng.randint(20), rng))
+        html = (
+            f"<html><body><p>{body}</p>\n" + "\n".join(anchors)
+            + "</body></html>"
+        ).encode("utf-8")
+        rows.append(
+            {
+                "url": url,
+                # 137s stride + sub-stride jitter: strictly increasing in
+                # i, so every snapshot (in particular every revisit of
+                # one url) has a distinct timestamp — keep-newest needs
+                # no tiebreak
+                "warc_ts": t0 + timedelta(seconds=i * 137 + int(rng.randint(0, 100))),
+                "html": html,
+                "text": None,
+                "lang": "en",
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    return df
+
+
+def write_link_pages_parquet(path: str, n_rows: int, seed: int = 7) -> str:
+    """Write the link corpus as parquet (pyarrow; no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_link_pages(n_rows, seed)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, path, row_group_size=8192)
+    return path

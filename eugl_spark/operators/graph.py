@@ -181,3 +181,81 @@ def connected_components_star(
         )
     )
     return _cc_output(labels)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    iter_round_dp: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over an (src, dst, w) edge frame → (host, rank).
+
+    Semantics (mirrored term-for-term by the DuckDB oracle in
+    plans/queries.py::_pagerank_sql — keep the two in sync):
+
+      * nodes = distinct src ∪ dst of the edge list (a host with no
+        qualifying in- or out-links is not a node); rank0 = 1/N;
+      * per iteration: rank'(v) = (1-d)/N + d * (Σ_{(u,v)} rank(u) *
+        w(u,v)/outw(u) + dangle/N), where dangle is the rank mass of
+        nodes with no outlinks, redistributed uniformly so Σrank stays
+        1 (the full formulation, not the mass-leaking shortcut);
+      * each iteration rounds to ``iter_round_dp`` dp in BOTH engines,
+        re-synchronizing float64 summation-order ulps before they can
+        amplify across supersteps (the registry's sigma-clip recipe).
+
+    Scale shape: the rank frame is O(hosts) — a host graph is orders
+    of magnitude smaller than its edge list (~10^8 hosts vs ~10^11
+    edges at crawl scale) — so the per-iteration work is one slim
+    join of ranks onto edges (AQE broadcasts the rank side while it
+    fits; beyond that it's a co-partitioned shuffle on src that AQE
+    reuses across supersteps) and one partially-aggregated
+    groupBy(dst). The dangling mass is a scalar 1-row frame, joined
+    by explicit broadcast. Supersteps are checkpointed like connected
+    components; the node count is a single driver scalar (same class
+    as the CC fixpoint probes).
+    """
+    edges = checkpoint_df(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    )
+    nodes = checkpoint_df(
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar probe (teleport term needs N)
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        dangle = ranks.join(
+            outw, ranks["host"] == outw["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangle"))
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("host", "src"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = checkpoint_df(
+            nodes.join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dangle))
+            .select(
+                "host",
+                F.round(
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangle") / n_nodes
+                    ),
+                    iter_round_dp,
+                ).alias("rank"),
+            )
+        )
+    return ranks

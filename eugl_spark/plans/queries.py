@@ -2116,7 +2116,7 @@ def pipeline_docs_verdict(spark, sf_dir):
     )
 
 
-def _entry_corpus_path() -> str:
+def _entry_corpus_path(stem: str = "eugl_entry_pages") -> str:
     """Fixture path, keyed by a hash of the GENERATOR source: a stale
     cache from an older eugl_spark.corpus would silently serve both
     engine and oracle (parity stays green while the new corpus cases
@@ -2130,9 +2130,7 @@ def _entry_corpus_path() -> str:
     from eugl_spark import corpus
 
     ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(), f"eugl_entry_pages_{ver}.parquet"
-    )
+    return os.path.join(tempfile.gettempdir(), f"{stem}_{ver}.parquet")
 
 
 def ensure_entry_corpus() -> str:
@@ -2326,6 +2324,212 @@ def dedup_paragraphs_from(pages: DataFrame) -> DataFrame:
             ),
             "\n",
         ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-graph family over the link corpus: anchor outlink extraction →
+# host-level edge list → PageRank host authority, plus keep-newest-
+# snapshot URL dedup. Crawl curation needs host authority (which sites
+# to crawl deeper / trust) and snapshot recency (which capture of a url
+# to keep) — the web-text analog of the reference's ancillary-quality
+# lookups feeding its per-granule verdicts.
+# ---------------------------------------------------------------------------
+
+# Extraction contract, identical in both engines: a link is a DOUBLE-
+# quoted href attribute whose value parses as http(s)://host/... —
+# single-quoted hrefs, relative paths and non-http schemes are ignored
+# (the fixture plants all three as negatives). Every SNAPSHOT's links
+# count, so a revisited page weights its edges by crawl frequency.
+_LINK_HREF_RE = r'<a href="([^"]+)"'
+_LINK_HOST_RE = r"^https?://([^/]+)/"
+
+
+def _link_corpus_path() -> str:
+    return _entry_corpus_path("eugl_link_pages")
+
+
+def ensure_link_corpus() -> str:
+    """Materialize the deterministic link-corpus fixture (same
+    atomic-replace + generator-versioned-path recipe as
+    ensure_entry_corpus)."""
+    import os
+
+    from eugl_spark.corpus import write_link_pages_parquet
+
+    path = _link_corpus_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_link_pages_parquet(tmp, n_rows=1200, seed=7)
+        os.replace(tmp, path)
+    return path
+
+
+def _link_edges_sql(count_expr: str) -> str:
+    """Shared pages → anchors → host-edges CTE chain (DuckDB side of
+    the extraction contract above)."""
+    path = _link_corpus_path()
+    return f"""
+    WITH pages AS (
+      SELECT url, decode(html) AS page
+      FROM read_parquet('{path}') WHERE html IS NOT NULL
+    ), lk AS (
+      SELECT regexp_extract(url, '{_LINK_HOST_RE}', 1) AS src,
+             unnest(regexp_extract_all(page, '{_LINK_HREF_RE}', 1)) AS target
+      FROM pages
+    ), edges AS (
+      SELECT src, regexp_extract(target, '{_LINK_HOST_RE}', 1) AS dst,
+             {count_expr}
+      FROM lk
+      WHERE regexp_extract(target, '{_LINK_HOST_RE}', 1) <> ''
+      GROUP BY src, dst
+    )"""
+
+
+def link_host_edges(pages: DataFrame) -> DataFrame:
+    """(url, html, …) → (src, dst, n_links) host-level edge list.
+
+    Library surface (Spark side of the extraction contract). Scale
+    shape: the regex extraction and explode are whole-stage-codegen
+    JVM work — no Python in the path — and the only exchange is the
+    (src, dst) groupBy, which partially aggregates map-side, so the
+    shuffled bytes track the DISTINCT host-pair count of each input
+    split, not its link count (a crawl split's links concentrate on
+    few hosts, exactly when the partial agg collapses hardest)."""
+    lk = pages.filter(F.col("html").isNotNull()).select(
+        F.regexp_extract("url", _LINK_HOST_RE, 1).alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit(_LINK_HREF_RE), F.lit(1)
+            )
+        ).alias("target"),
+    )
+    return (
+        lk.select(
+            "src", F.regexp_extract("target", _LINK_HOST_RE, 1).alias("dst")
+        )
+        .filter(F.col("dst") != "")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _link_pages(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(ensure_link_corpus())
+
+
+@q(
+    "crawl_outlinks",
+    _link_edges_sql("count(*) AS n_links")
+    + """
+    SELECT src AS src_host, dst AS dst_host, n_links FROM edges""",
+    "Anchor outlink extraction over raw crawl html → host-level edge "
+    "list with link multiplicity. The ingestion step of every "
+    "link-analysis / crawl-frontier pipeline.",
+)
+def crawl_outlinks(spark, sf_dir):
+    return link_host_edges(_link_pages(spark)).select(
+        F.col("src").alias("src_host"),
+        F.col("dst").alias("dst_host"),
+        "n_links",
+    )
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB oracle for operators.graph.pagerank —
+    same node set, teleport, dangling redistribution and per-iteration
+    round(…, 10) (see the pagerank docstring for the semantics; keep
+    the two in sync)."""
+    parts = [
+        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w"),
+        """
+    , nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+    r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(f"""
+    , dg{k} AS (
+      SELECT coalesce(sum(r.rank), 0.0) AS dangle
+      FROM {p} r LEFT JOIN outw o ON o.src = r.host WHERE o.src IS NULL
+    ), c{k} AS (
+      SELECT e.dst AS host, sum(r.rank * e.w / o.outw) AS contrib
+      FROM edges e
+      JOIN outw o ON o.src = e.src
+      JOIN {p} r ON r.host = e.src
+      GROUP BY e.dst
+    ), r{k} AS (
+      SELECT n.host,
+        round((1 - {damping}) / (SELECT n FROM nn)
+          + {damping} * (coalesce(c.contrib, 0.0)
+                         + (SELECT dangle FROM dg{k}) / (SELECT n FROM nn)),
+              10) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
+    )""")
+    parts.append(
+        f"\n    SELECT host, round(rank, 6) AS pagerank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+@q(
+    "graph_pagerank_hosts",
+    _pagerank_sql(),
+    "Damped PageRank (d=0.85, 3 iterations, dangling mass "
+    "redistributed uniformly) over the crawl host graph — the "
+    "authority signal crawl curation ranks hosts by. Iterative "
+    "superstep op like connected components; oracle is the same "
+    "recurrence unrolled into chained CTEs.",
+)
+def graph_pagerank_hosts(spark, sf_dir):
+    """Scale shape: see operators.graph.pagerank — O(hosts) rank frame
+    joined onto the edge list per superstep, partially-aggregated
+    groupBy(dst), scalar dangling mass via explicit broadcast,
+    checkpointed supersteps."""
+    from eugl_spark.operators.graph import pagerank
+
+    edges = link_host_edges(_link_pages(spark)).withColumnRenamed(
+        "n_links", "w"
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select("host", F.round("rank", 6).alias("pagerank"))
+
+
+@q(
+    "dedup_url_latest",
+    f"""
+    SELECT url,
+      max(warc_ts) AS last_ts,
+      count(*) AS n_snapshots,
+      arg_max(length(decode(html)), warc_ts) AS last_html_len
+    FROM read_parquet('{_link_corpus_path()}')
+    GROUP BY url
+    """,
+    "Keep-newest-snapshot-per-url dedup over a crawl with revisits: "
+    "last capture timestamp, snapshot count, and an attribute of the "
+    "WINNING row (its html length) via max_by/arg_max.",
+)
+def dedup_url_latest(spark, sf_dir):
+    """max_by, not a row_number window: groupBy + max_by partially
+    aggregates map-side, so each input split contributes one candidate
+    row per url it contains — the window alternative must shuffle and
+    sort EVERY snapshot. Tie-safe here because the fixture guarantees
+    distinct warc_ts per url (generator comment); callers with tied
+    timestamps should max_by on a (warc_ts, tiebreak) struct."""
+    return (
+        _link_pages(spark)
+        .groupBy("url")
+        .agg(
+            F.max("warc_ts").alias("last_ts"),
+            F.count("*").alias("n_snapshots"),
+            F.max_by(
+                F.length(F.col("html").cast("string")), "warc_ts"
+            ).alias("last_html_len"),
+        )
     )
 
 
@@ -4351,6 +4555,15 @@ _SNAPSHOT_TAIL = [
     # must stay exactly the first 50; q3/q5 keep the join flagships)
     "embedding_stats",
     "tpch_q1_pricing_summary",
+    # demoted with the web-graph family's registrations (crawl_outlinks
+    # / graph_pagerank_hosts / dedup_url_latest): none of these three
+    # carries a §2 row of its own — qf_fingerprint's C-suite evidence
+    # stays in-window via qf_token_stats, the ANN family keeps four
+    # in-window flagships, and qf_keep_rate_by_source is the entry()
+    # smoke query (checked by the driver separately from the snapshot)
+    "qf_fingerprint",
+    "qf_keep_rate_by_source",
+    "ann_cosine_pairs",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

@@ -74,6 +74,10 @@ FLAGSHIPS = [
     "decontaminate_bloom",
     "qf_ppl_buckets",
     "qf_score_calibration",
+    # web-graph family (round 4, continuation)
+    "crawl_outlinks",
+    "graph_pagerank_hosts",
+    "dedup_url_latest",
 ]
 
 
