@@ -62,6 +62,10 @@ HEADLINE = [
     "crawl_outlinks",
     "graph_pagerank_hosts",
     "dedup_url_latest",
+    "graph_hits_hosts",
+    "crawl_anchor_text",
+    "crawl_frontier",
+    "dedup_span_coverage",
 ]
 
 

@@ -246,6 +246,22 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
 
 LINK_N_HOSTS = 60
 
+# External hosts: appear only as link TARGETS, never as page urls —
+# the crawl frontier (discovered-but-uncrawled). They are PageRank
+# dangling nodes for real (no outlinks), exercising the dangling-mass
+# redistribution term on the committed fixture rather than only in
+# hand-graph tests.
+LINK_N_EXT_HOSTS = 10
+
+# Anchor-text vocabulary (Zipf-weighted): navigation boilerplate
+# dominates real anchor text, so the per-host mode is a meaningful
+# signal rather than a uniform draw.
+_ANCHOR_TEXTS = [
+    "click here", "read more", "home", "about us", "contact",
+    "news", "products", "blog", "privacy policy", "terms of use",
+    "login", "site map",
+]
+
 
 def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
     """Synthetic crawl pages whose html embeds anchor outlinks.
@@ -258,11 +274,20 @@ def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
         the keep-newest-snapshot dedup;
       * each page embeds 0-8 anchors: mostly double-quoted absolute
         https targets, plus deliberate negatives the extractor must
-        ignore — single-quoted hrefs, relative hrefs, mailto:.
+        ignore — single-quoted hrefs, relative hrefs, mailto:;
+      * ~10% of qualifying targets point at EXTERNAL hosts that are
+        never crawled (no page rows) — the frontier / dangling set;
+      * anchor text is drawn Zipf-weighted from a boilerplate
+        vocabulary so per-host anchor-text aggregation has a
+        well-defined mode.
     """
     rng = np.random.RandomState(seed)
     host_w = 1.0 / np.arange(1, LINK_N_HOSTS + 1)
     host_w /= host_w.sum()
+    at_w = 1.0 / np.arange(1, len(_ANCHOR_TEXTS) + 1)
+    at_w /= at_w.sum()
+    ext_w = 1.0 / np.arange(1, LINK_N_EXT_HOSTS + 1)
+    ext_w /= ext_w.sum()
     n_pages = max(1, int(n_rows * 0.85))
     page_host = rng.choice(LINK_N_HOSTS, size=n_pages, p=host_w)
     t0 = datetime(2024, 3, 1)
@@ -274,15 +299,24 @@ def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
         for j in range(int(rng.randint(0, 9))):
             th = int(rng.choice(LINK_N_HOSTS, p=host_w))
             target = f"https://www.site{th}.example/p/{int(rng.randint(n_pages))}"
+            atext = str(rng.choice(_ANCHOR_TEXTS, p=at_w))
             r = rng.rand()
             if r < 0.08:  # single-quoted: outside the extraction contract
-                anchors.append(f"<a href='{target}'>t{j}</a>")
+                anchors.append(f"<a href='{target}'>{atext}</a>")
             elif r < 0.14:  # relative: no host → dropped at host parse
-                anchors.append(f'<a href="/p/{int(rng.randint(n_pages))}">t{j}</a>')
+                anchors.append(
+                    f'<a href="/p/{int(rng.randint(n_pages))}">{atext}</a>'
+                )
             elif r < 0.17:  # non-http scheme → dropped at host parse
-                anchors.append(f'<a href="mailto:u{j}@x.example">t{j}</a>')
+                anchors.append(f'<a href="mailto:u{j}@x.example">{atext}</a>')
+            elif r < 0.27:  # external target: frontier host, dangling node
+                eh = int(rng.choice(LINK_N_EXT_HOSTS, p=ext_w))
+                ep = int(rng.randint(50))
+                anchors.append(
+                    f'<a href="https://ext{eh}.example/p/{ep}">{atext}</a>'
+                )
             else:
-                anchors.append(f'<a href="{target}">t{j}</a>')
+                anchors.append(f'<a href="{target}">{atext}</a>')
         body = " ".join(_chain("en", 20 + rng.randint(20), rng))
         html = (
             f"<html><body><p>{body}</p>\n" + "\n".join(anchors)

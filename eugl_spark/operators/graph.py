@@ -259,3 +259,85 @@ def pagerank(
             )
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    iter_round_dp: int = 10,
+) -> DataFrame:
+    """Weighted HITS over an (src, dst, w) edge frame →
+    (host, hub, authority).
+
+    Semantics (mirrored term-for-term by the DuckDB oracle in
+    plans/queries.py::_hits_sql — keep the two in sync):
+
+      * nodes = distinct src ∪ dst; hub0 = 1/N;
+      * per iteration, authorities first from the PREVIOUS hubs, then
+        hubs from the NEW authorities (the classical update order):
+          a_raw(v) = Σ_{(u,v)} w(u,v) · h(u);  a = a_raw / Σ a_raw
+          h_raw(u) = Σ_{(u,v)} w(u,v) · a(v);  h = h_raw / Σ h_raw
+        i.e. L1 normalization (scores sum to 1 — a distribution, like
+        PageRank — rather than the also-common L2 choice; documented
+        contract, same fixpoint directions);
+      * nodes with no in-links get authority 0, nodes with no
+        out-links get hub 0 (left join + coalesce);
+      * each normalized vector rounds to ``iter_round_dp`` dp in BOTH
+        engines, re-synchronizing float64 summation-order ulps before
+        they amplify across supersteps (the pagerank/sigma-clip
+        recipe).
+
+    Scale shape: identical to pagerank — O(hosts) score frames joined
+    onto the edge list per half-step, partially-aggregated groupBy,
+    normalization constants are 1-row frames joined by explicit
+    broadcast, supersteps checkpointed.
+    """
+    edges = checkpoint_df(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    )
+    nodes = checkpoint_df(
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar probe (initial 1/N needs N)
+    if n_nodes == 0:
+        return nodes.select(
+            "host", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _half_step(scores: DataFrame, join_on: str, out_for: str) -> DataFrame:
+        """One normalized half-update: scores on `join_on` endpoints
+        aggregated onto `out_for` endpoints."""
+        raw = (
+            edges.join(scores.withColumnRenamed("host", join_on), join_on)
+            .select(
+                F.col(out_for).alias("host"),
+                (F.col("w") * F.col("s")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return checkpoint_df(
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "host",
+                F.round(
+                    F.coalesce(F.col("raw") / F.col("tot"), F.lit(0.0)),
+                    iter_round_dp,
+                ).alias("s"),
+            )
+        )
+
+    hubs = nodes.withColumn("s", F.lit(1.0 / n_nodes))
+    auths = None
+    for _ in range(iters):
+        auths = _half_step(hubs, "src", "dst")
+        hubs = _half_step(auths, "dst", "src")
+    return (
+        hubs.withColumnRenamed("s", "hub")
+        .join(auths.withColumnRenamed("s", "authority"), "host")
+        .select("host", "hub", "authority")
+    )

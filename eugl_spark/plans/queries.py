@@ -2370,14 +2370,14 @@ def _link_edges_sql(count_expr: str) -> str:
     the extraction contract above)."""
     path = _link_corpus_path()
     return f"""
-    WITH pages AS (
+    WITH pages AS MATERIALIZED (
       SELECT url, decode(html) AS page
       FROM read_parquet('{path}') WHERE html IS NOT NULL
     ), lk AS (
       SELECT regexp_extract(url, '{_LINK_HOST_RE}', 1) AS src,
              unnest(regexp_extract_all(page, '{_LINK_HREF_RE}', 1)) AS target
       FROM pages
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT src, regexp_extract(target, '{_LINK_HOST_RE}', 1) AS dst,
              {count_expr}
       FROM lk
@@ -2435,11 +2435,13 @@ def crawl_outlinks(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
-    """Unrolled-iteration DuckDB oracle for operators.graph.pagerank —
-    same node set, teleport, dangling redistribution and per-iteration
-    round(…, 10) (see the pagerank docstring for the semantics; keep
-    the two in sync)."""
+def _pagerank_cte_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB CTE chain for operators.graph.pagerank
+    — same node set, teleport, dangling redistribution and
+    per-iteration round(…, 10) (see the pagerank docstring for the
+    semantics; keep the two in sync). Ends with CTE r{iters}; callers
+    append their own final SELECT (graph_pagerank_hosts reads the
+    ranks, crawl_frontier joins them onto uncrawled link targets)."""
     parts = [
         _link_edges_sql("CAST(count(*) AS DOUBLE) AS w"),
         """
@@ -2453,16 +2455,16 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     for k in range(1, iters + 1):
         p = f"r{k - 1}"
         parts.append(f"""
-    , dg{k} AS (
+    , dg{k} AS MATERIALIZED (
       SELECT coalesce(sum(r.rank), 0.0) AS dangle
       FROM {p} r LEFT JOIN outw o ON o.src = r.host WHERE o.src IS NULL
-    ), c{k} AS (
+    ), c{k} AS MATERIALIZED (
       SELECT e.dst AS host, sum(r.rank * e.w / o.outw) AS contrib
       FROM edges e
       JOIN outw o ON o.src = e.src
       JOIN {p} r ON r.host = e.src
       GROUP BY e.dst
-    ), r{k} AS (
+    ), r{k} AS MATERIALIZED (
       SELECT n.host,
         round((1 - {damping}) / (SELECT n FROM nn)
           + {damping} * (coalesce(c.contrib, 0.0)
@@ -2470,10 +2472,14 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
               10) AS rank
       FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
     )""")
-    parts.append(
-        f"\n    SELECT host, round(rank, 6) AS pagerank FROM r{iters}"
-    )
     return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    return (
+        _pagerank_cte_sql(iters, damping)
+        + f"\n    SELECT host, round(rank, 6) AS pagerank FROM r{iters}"
+    )
 
 
 @q(
@@ -2529,6 +2535,343 @@ def dedup_url_latest(spark, sf_dir):
             F.max_by(
                 F.length(F.col("html").cast("string")), "warc_ts"
             ).alias("last_html_len"),
+        )
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for operators.graph.hits —
+    same node set, auth-then-hub update order, L1 normalization and
+    per-half-step round(…, 10) (see the hits docstring for the
+    semantics; keep the two in sync)."""
+    parts = [
+        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w"),
+        """
+    , nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS s FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    , ar{k} AS MATERIALIZED (
+      SELECT e.dst AS host, sum(e.w * h.s) AS raw
+      FROM edges e JOIN h{k - 1} h ON h.host = e.src GROUP BY e.dst
+    ), a{k} AS MATERIALIZED (
+      SELECT n.host,
+        round(coalesce(r.raw / (SELECT sum(raw) FROM ar{k}), 0.0), 10) AS s
+      FROM nodes n LEFT JOIN ar{k} r ON r.host = n.host
+    ), hr{k} AS MATERIALIZED (
+      SELECT e.src AS host, sum(e.w * a.s) AS raw
+      FROM edges e JOIN a{k} a ON a.host = e.dst GROUP BY e.src
+    ), h{k} AS MATERIALIZED (
+      SELECT n.host,
+        round(coalesce(r.raw / (SELECT sum(raw) FROM hr{k}), 0.0), 10) AS s
+      FROM nodes n LEFT JOIN hr{k} r ON r.host = n.host
+    )""")
+    parts.append(f"""
+    SELECT h.host, round(h.s, 6) AS hub, round(a.s, 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON a.host = h.host""")
+    return "".join(parts)
+
+
+@q(
+    "graph_hits_hosts",
+    _hits_sql(),
+    "Weighted HITS (3 iterations, L1-normalized, authorities from "
+    "previous hubs then hubs from new authorities) over the crawl "
+    "host graph — hubs (link directories) vs authorities (linked-to "
+    "content) are complementary curation signals to PageRank's "
+    "single authority score.",
+)
+def graph_hits_hosts(spark, sf_dir):
+    """Scale shape: see operators.graph.hits — O(hosts) score frames,
+    per-half-step partial-agg groupBy, broadcast 1-row normalization
+    constants, checkpointed supersteps."""
+    from eugl_spark.operators.graph import hits
+
+    edges = link_host_edges(_link_pages(spark)).withColumnRenamed(
+        "n_links", "w"
+    )
+    h = hits(edges, iters=3)
+    return h.select(
+        "host",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+# Anchor-pair contract: a counted anchor is a double-quoted href with
+# a same-tag text span containing no nested markup — the contract the
+# fixture's negatives exercise. Group 1 = target url, group 2 = text.
+_LINK_ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+@q(
+    "crawl_anchor_text",
+    f"""
+    WITH pages AS (
+      SELECT decode(html) AS page
+      FROM read_parquet('{_link_corpus_path()}') WHERE html IS NOT NULL
+    ), an AS (
+      SELECT unnest(regexp_extract_all(page, '{_LINK_ANCHOR_RE}')) AS a
+      FROM pages
+    ), parsed AS (
+      SELECT regexp_extract(regexp_extract(a, '{_LINK_ANCHOR_RE}', 1),
+                            '{_LINK_HOST_RE}', 1) AS dst,
+             regexp_extract(a, '{_LINK_ANCHOR_RE}', 2) AS atext
+      FROM an
+    ), cnt AS (
+      SELECT dst, atext, count(*) AS n FROM parsed
+      WHERE dst <> '' GROUP BY dst, atext
+    )
+    SELECT dst AS dst_host, n_anchors, n_texts,
+           atext AS top_text, n AS top_text_n
+    FROM (
+      SELECT dst, atext, n,
+        CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors,
+        count(*) OVER (PARTITION BY dst) AS n_texts,
+        row_number() OVER (PARTITION BY dst ORDER BY n DESC, atext) AS rn
+      FROM cnt)
+    WHERE rn = 1
+    """,
+    "Anchor-text aggregation per target host — incoming anchor count, "
+    "distinct-text count, and the modal anchor text (ties broken "
+    "lexicographically). Anchor text is the classic off-page "
+    "relevance/quality signal for the TARGET document.",
+)
+def crawl_anchor_text(spark, sf_dir):
+    """The window runs over the (dst, atext) AGGREGATE — cardinality
+    hosts × distinct texts, already collapsed map-side by the groupBy
+    — never over raw anchors, so the per-host sort the mode needs is
+    on a frame orders of magnitude smaller than the link list."""
+    an = (
+        _link_pages(spark)
+        .filter(F.col("html").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("html").cast("string"),
+                    F.lit(_LINK_ANCHOR_RE),
+                    F.lit(0),
+                )
+            ).alias("a")
+        )
+    )
+    cnt = (
+        an.select(
+            F.regexp_extract(
+                F.regexp_extract("a", _LINK_ANCHOR_RE, 1),
+                _LINK_HOST_RE,
+                1,
+            ).alias("dst"),
+            F.regexp_extract("a", _LINK_ANCHOR_RE, 2).alias("atext"),
+        )
+        .filter(F.col("dst") != "")
+        .groupBy("dst", "atext")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("dst")
+    return (
+        cnt.select(
+            F.col("dst").alias("dst_host"),
+            "atext",
+            "n",
+            F.sum("n").over(w).alias("n_anchors"),
+            F.count("*").over(w).alias("n_texts"),
+            F.row_number()
+            .over(w.orderBy(F.col("n").desc(), F.col("atext")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "dst_host",
+            "n_anchors",
+            "n_texts",
+            F.col("atext").alias("top_text"),
+            F.col("n").alias("top_text_n"),
+        )
+    )
+
+
+@q(
+    "crawl_frontier",
+    _pagerank_cte_sql()
+    + f"""
+    , crawled AS (
+      SELECT DISTINCT regexp_extract(url, '{_LINK_HOST_RE}', 1) AS host
+      FROM read_parquet('{_link_corpus_path()}')
+    )
+    SELECT e.dst AS host, count(*) AS n_referrers,
+      CAST(sum(e.w) AS BIGINT) AS inlinks,
+      round(sum(e.w * r.rank), 6) AS authority_score
+    FROM edges e JOIN r3 r ON r.host = e.src
+    WHERE e.dst NOT IN (SELECT host FROM crawled)
+    GROUP BY e.dst
+    """,
+    "Crawl-frontier prioritization: hosts that are linked to but "
+    "never crawled, scored by the PageRank mass of their referrers "
+    "(OPIC-style importance propagation) — which discovered hosts to "
+    "fetch next.",
+)
+def crawl_frontier(spark, sf_dir):
+    """Anti-join against the crawled-host dim (O(hosts), explicitly
+    broadcast); referrer ranks are the O(hosts) pagerank frame joined
+    onto the edge list once. No NOT IN null trap on the Spark side —
+    left_anti has clean semantics; the oracle's url column is
+    fixture-guaranteed non-null."""
+    from eugl_spark.operators.graph import pagerank
+
+    pages = _link_pages(spark)
+    edges = link_host_edges(pages).select(
+        "src", "dst", F.col("n_links").cast("double").alias("w")
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    crawled = pages.select(
+        F.regexp_extract("url", _LINK_HOST_RE, 1).alias("chost")
+    ).distinct()
+    return (
+        edges.join(ranks.withColumnRenamed("host", "src"), "src")
+        .join(
+            F.broadcast(crawled),
+            F.col("dst") == F.col("chost"),
+            "left_anti",
+        )
+        .groupBy(F.col("dst").alias("host"))
+        .agg(
+            F.count("*").alias("n_referrers"),
+            F.sum("w").cast("long").alias("inlinks"),
+            F.round(F.sum(F.col("w") * F.col("rank")), 6).alias(
+                "authority_score"
+            ),
+        )
+    )
+
+
+# Exact-substring duplication profile (the "Deduplicating Training
+# Data Makes Language Models Better" signal, scaled to the fixture):
+# a span is duplicated if its word-8-gram occurs ≥2 times in the
+# corpus (including within one doc — intra-doc boilerplate counts).
+# Grams are hashed to int64 with THE shared recipe before any shuffle
+# so exchanges carry 8 bytes, not 8-word strings; both engines hash
+# identically, so parity is collision-exact.
+_SPAN_N = 8
+_SPAN_GRAM_WORDS = ", ".join(
+    f"toks[i+{k}]" if k else "toks[i]" for k in range(_SPAN_N)
+)
+
+
+@q(
+    "dedup_span_coverage",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)))
+          AS i
+      FROM tk
+    ), grams AS (
+      SELECT doc_id, i,
+        {_md5_int_sql(f"concat_ws(' ', {_SPAN_GRAM_WORDS})")} AS gh
+      FROM pos
+    ), dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gh)
+    ), dg AS (
+      SELECT doc_id, count(*) AS n_dup_grams FROM hits GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered FROM (
+        SELECT doc_id, unnest(generate_series(i, i + {_SPAN_N - 1})) AS p
+        FROM hits)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+      coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+      coalesce(c.covered, 0) AS covered_tokens,
+      round(CASE WHEN len(t.toks) > 0 THEN
+        CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.toks)
+        ELSE 0.0 END, 6) AS dup_fraction
+    FROM tk t
+    LEFT JOIN dg d ON d.doc_id = t.doc_id
+    LEFT JOIN cov c ON c.doc_id = t.doc_id
+    """,
+    "Exact-substring duplication profile per doc: count of duplicated "
+    "word-8-gram spans (≥2 occurrences corpus-wide, intra-doc "
+    "included) and the fraction of token positions covered by the "
+    "union of those spans — the span-level signal exact-substring "
+    "dedup removes.",
+)
+def dedup_span_coverage(spark, sf_dir):
+    return span_coverage_from(_t(spark, sf_dir, "documents"))
+
+
+def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """(doc_id, text, …) → per-doc duplicated-span stats (library
+    surface of dedup_span_coverage; see its oracle for the contract).
+
+    Positioned-gram plan: tokenize ONCE (checkpointed tokens frame
+    feeds both the gram build and the final per-doc stats), posexplode
+    grams, hash→int64, partial-agg groupBy(gh) for the duplicate set,
+    equi-join back, then a bounded ≤n× position explode for interval
+    union. Never a doc×doc comparison."""
+    spark = docs.sparkSession
+    tk = checkpoint_df(
+        docs.filter(F.col("text").isNotNull())
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
+        )
+        .select("doc_id", _once(H.tokens(F.col("text"))).alias("toks"))
+    )
+    grams = checkpoint_df(
+        tk.select(
+            "doc_id", F.posexplode(_ngram_arr("toks", n))
+        ).select(
+            "doc_id",
+            (F.col("pos") + 1).alias("i"),  # 1-based like the oracle
+            _md5_int_col(F.col("col")).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    hits = checkpoint_df(grams.join(dup, "gh").select("doc_id", "i"))
+    dg = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("covered"))
+    )
+    nt = F.col("n_tokens")
+    return (
+        tk.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(dg, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                nt > 0,
+                F.round(
+                    F.coalesce("covered", F.lit(0)).cast("double") / nt, 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
         )
     )
 
@@ -4564,6 +4907,16 @@ _SNAPSHOT_TAIL = [
     "qf_fingerprint",
     "qf_keep_rate_by_source",
     "ann_cosine_pairs",
+    # demoted with graph_hits_hosts / crawl_anchor_text /
+    # crawl_frontier / dedup_span_coverage: all four driver-green in
+    # r03 (or earlier) and family-redundant in-window — the ANN family
+    # keeps topk_bruteforce / lsh_buckets / lsh_pairs / ivf_topk /
+    # kmeans_cells / kmeans_topk, the text family keeps tfidf and bpe
+    # stats, corpus composition keeps the budget/mixture/epochs trio
+    "ann_knn_label_vote",
+    "ann_ivf_cells",
+    "text_top_bigrams",
+    "corpus_host_diversity",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

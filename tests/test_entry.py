@@ -61,7 +61,9 @@ FLAGSHIPS = [
     "split_train_val_test",
     "text_bpe_token_stats",
     "text_tfidf_top_terms",
-    "corpus_host_diversity",
+    # corpus_host_diversity demoted to the tail with the second
+    # web-graph batch: driver-green in r03, composition-stats family
+    # keeps the budget/mixture/epochs trio in-window
     "corpus_build_train",
     "events_asof_last_view",
     "sigma_clip_quantity",
@@ -78,6 +80,10 @@ FLAGSHIPS = [
     "crawl_outlinks",
     "graph_pagerank_hosts",
     "dedup_url_latest",
+    "graph_hits_hosts",
+    "crawl_anchor_text",
+    "crawl_frontier",
+    "dedup_span_coverage",
 ]
 
 

@@ -132,3 +132,97 @@ def test_link_fixture_has_revisits_and_negatives():
     # timestamps strictly increasing → distinct per url, no tiebreak
     assert df.warc_ts.is_monotonic_increasing
     assert not df.warc_ts.duplicated().any()
+
+
+def test_hits_l1_normalized_and_ordering(spark):
+    """Hub and authority vectors each sum to 1 (L1 contract); the
+    host everyone links to is the top authority, the page linking to
+    everything is the top hub."""
+    from eugl_spark.operators.graph import hits
+
+    e = [("huba", "x", 1.0), ("huba", "y", 1.0), ("huba", "z", 1.0),
+         ("b", "x", 1.0), ("c", "x", 1.0)]
+    out = hits(_edges(spark, e), iters=3).collect()
+    hub = {r["host"]: r["hub"] for r in out}
+    auth = {r["host"]: r["authority"] for r in out}
+    assert sum(hub.values()) == pytest.approx(1.0, abs=1e-6)
+    assert sum(auth.values()) == pytest.approx(1.0, abs=1e-6)
+    assert max(auth, key=auth.get) == "x"
+    assert max(hub, key=hub.get) == "huba"
+    # pure targets have no outlinks -> hub 0; pure sources -> auth 0
+    assert hub["y"] == 0.0 and auth["huba"] == 0.0
+    # symmetric hubs b and c tie exactly
+    assert hub["b"] == hub["c"]
+
+
+def test_hits_empty_edges(spark):
+    from eugl_spark.operators.graph import hits
+
+    assert hits(_edges(spark, []), iters=2).count() == 0
+
+
+def test_anchor_text_mode_tiebreak(spark):
+    """Per-host totals and modal anchor text, ties broken by the
+    lexicographically smaller text."""
+    html = (
+        b'<a href="https://t.example/1">beta</a>'
+        b'<a href="https://t.example/2">alpha</a>'
+        b'<a href="https://t.example/3">alpha</a>'
+        b'<a href="https://t.example/4">beta</a>'
+        b'<a href="https://u.example/1">only</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example/p/0", html)], "url string, html binary"
+    )
+    from eugl_spark.plans.queries import crawl_anchor_text
+
+    # drive the registry body on a hand frame via monkeypatched reader
+    import eugl_spark.plans.queries as Q
+
+    orig = Q._link_pages
+    Q._link_pages = lambda s: pages
+    try:
+        out = {r["dst_host"]: r for r in crawl_anchor_text(spark, "").collect()}
+    finally:
+        Q._link_pages = orig
+    assert out["t.example"]["n_anchors"] == 4
+    assert out["t.example"]["n_texts"] == 2
+    assert out["t.example"]["top_text"] == "alpha"  # 2-2 tie -> lexical
+    assert out["u.example"]["top_text"] == "only"
+
+
+def test_link_fixture_has_frontier_hosts():
+    """External hosts appear as link targets but never as page urls —
+    the committed fixture exercises the frontier anti-join and gives
+    PageRank real dangling nodes."""
+    from eugl_spark.corpus import generate_link_pages
+
+    df = generate_link_pages(600, seed=7)
+    allhtml = b"\n".join(df.html)
+    assert b'href="https://ext' in allhtml
+    assert not df.url.str.contains("//ext").any()
+
+
+def test_span_coverage_hand_docs(spark):
+    """A doc sharing an 8-gram with another doc gets covered
+    positions; a unique doc gets zero; intra-doc repetition counts."""
+    from eugl_spark.plans.queries import span_coverage_from
+
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{eight} unique tail one"),
+            (2, f"prefix {eight} other words"),
+            (3, "totally different text with no repeats at all here"),
+            (4, f"{eight} {eight}"),  # intra-doc duplication
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_coverage_from(docs).collect()}
+    # doc 1: tokens 1-8 covered of 11
+    assert out[1]["covered_tokens"] == 8 and out[1]["n_tokens"] == 11
+    assert out[1]["dup_fraction"] == pytest.approx(8 / 11, abs=1e-6)
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 4: every position is inside some duplicated 8-gram
+    assert out[4]["covered_tokens"] == out[4]["n_tokens"] == 16
+    assert out[4]["dup_fraction"] == 1.0
