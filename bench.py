@@ -66,6 +66,7 @@ HEADLINE = [
     "crawl_anchor_text",
     "crawl_frontier",
     "dedup_span_coverage",
+    "crawl_build_corpus",
 ]
 
 

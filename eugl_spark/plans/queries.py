@@ -2749,6 +2749,94 @@ def crawl_frontier(spark, sf_dir):
     )
 
 
+def _crawl_corpus_sql() -> str:
+    """Crawl-capstone oracle: newest-snapshot winners → html
+    extraction → the FULL verdict chain (heuristics + langid + ppl,
+    the same CTE recipes pipeline_full_corpus composes) → host
+    PageRank annotation. Reuses _pagerank_cte_sql verbatim, so the
+    authority column is term-for-term the graph_pagerank_hosts
+    oracle's."""
+    path = _link_corpus_path()
+    winners = f"""
+    , winners AS MATERIALIZED (
+      SELECT url, arg_max(html, warc_ts) AS html,
+             arg_max(text, warc_ts) AS text,
+             arg_max(lang, warc_ts) AS lang
+      FROM read_parquet('{path}') GROUP BY url
+    ), wdocs AS MATERIALIZED (
+      SELECT url AS doc_id, lang, NULL AS source,
+        CASE WHEN text IS NOT NULL THEN text ELSE {_extract_sql()} END
+          AS text
+      FROM winners
+    )"""
+    metrics = _qf_metrics_sql("wdocs").replace("\nWITH m AS", "\n, m AS", 1)
+    return (
+        _pagerank_cte_sql()
+        + winners
+        + metrics
+        + ", "
+        + _langid_cte("wdocs")
+        + ", "
+        + _ppl_cte("wdocs")
+        + f"""
+    SELECT s.doc_id AS url,
+      coalesce({_REASON_CASE_SQL}, 'KEEP') AS reason,
+      regexp_extract(s.doc_id, '{_LINK_HOST_RE}', 1) AS host,
+      round(coalesce(r.rank, 0.0), 6) AS host_rank
+    FROM s
+    JOIN lid ON lid.doc_id = s.doc_id
+    JOIN ppl ON ppl.doc_id = s.doc_id
+    LEFT JOIN r3 r
+      ON r.host = regexp_extract(s.doc_id, '{_LINK_HOST_RE}', 1)
+    """
+    )
+
+
+@q(
+    "crawl_build_corpus",
+    _crawl_corpus_sql(),
+    "Crawl-side capstone: keep the newest snapshot per url, extract "
+    "text from its html, run the FULL quality pipeline (heuristics + "
+    "langid + perplexity), and annotate every doc with its host's "
+    "PageRank — per-doc verdict + authority, the frame a corpus "
+    "builder samples from.",
+)
+def crawl_build_corpus(spark, sf_dir):
+    """Composition shape: the snapshot collapse is the same map-side
+    max_by aggregation as dedup_url_latest (one candidate row per url
+    per input split reaches the exchange — the fat html column
+    shuffles once, pre-collapsed); the winners frame flows into
+    apply_pipeline's stateless kernel at scan parallelism; the
+    PageRank frame is O(hosts) and joined by explicit broadcast."""
+    from eugl_spark.operators.graph import pagerank
+    from eugl_spark.pipeline import apply_pipeline
+
+    pages = _link_pages(spark)
+    winners = pages.groupBy("url").agg(
+        F.max_by("html", "warc_ts").alias("html"),
+        F.max_by("text", "warc_ts").alias("text"),
+        F.max_by("lang", "warc_ts").alias("lang"),
+        F.max("warc_ts").alias("warc_ts"),
+    )
+    labeled = apply_pipeline(winners, repartition_to=0)
+    edges = link_host_edges(pages).withColumnRenamed("n_links", "w")
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        labeled.select(
+            "url",
+            F.coalesce("drop_reason", F.lit("KEEP")).alias("reason"),
+            F.regexp_extract("url", _LINK_HOST_RE, 1).alias("host"),
+        )
+        .join(F.broadcast(ranks), "host", "left")
+        .select(
+            "url",
+            "reason",
+            "host",
+            F.round(F.coalesce("rank", F.lit(0.0)), 6).alias("host_rank"),
+        )
+    )
+
+
 # Exact-substring duplication profile (the "Deduplicating Training
 # Data Makes Language Models Better" signal, scaled to the fixture):
 # a span is duplicated if its word-8-gram occurs ≥2 times in the
@@ -4917,6 +5005,10 @@ _SNAPSHOT_TAIL = [
     "ann_ivf_cells",
     "text_top_bigrams",
     "corpus_host_diversity",
+    # demoted with crawl_build_corpus (the crawl capstone): sessionize
+    # is streaming-adjacent evidence the 3 streaming test files +
+    # events_asof keep covered; driver-green r01–r03
+    "events_sessionize",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

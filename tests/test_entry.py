@@ -84,6 +84,7 @@ FLAGSHIPS = [
     "crawl_anchor_text",
     "crawl_frontier",
     "dedup_span_coverage",
+    "crawl_build_corpus",
 ]
 
 
