@@ -2341,6 +2341,11 @@ def dedup_paragraphs_from(pages: DataFrame) -> DataFrame:
 # single-quoted hrefs, relative paths and non-http schemes are ignored
 # (the fixture plants all three as negatives). Every SNAPSHOT's links
 # count, so a revisited page weights its edges by crawl frequency.
+# Pages whose OWN url has no parseable host (malformed/null url)
+# contribute no edges — a '' src would otherwise become a phantom
+# graph node. The SQL builders take an optional path so the
+# pathological-links sweep can point the same contract at a hard-input
+# corpus; the registry always binds the canonical fixture.
 _LINK_HREF_RE = r'<a href="([^"]+)"'
 _LINK_HOST_RE = r"^https?://([^/]+)/"
 
@@ -2365,10 +2370,10 @@ def ensure_link_corpus() -> str:
     return path
 
 
-def _link_edges_sql(count_expr: str) -> str:
+def _link_edges_sql(count_expr: str, path: str | None = None) -> str:
     """Shared pages → anchors → host-edges CTE chain (DuckDB side of
     the extraction contract above)."""
-    path = _link_corpus_path()
+    path = path or _link_corpus_path()
     return f"""
     WITH pages AS MATERIALIZED (
       SELECT url, decode(html) AS page
@@ -2382,6 +2387,7 @@ def _link_edges_sql(count_expr: str) -> str:
              {count_expr}
       FROM lk
       WHERE regexp_extract(target, '{_LINK_HOST_RE}', 1) <> ''
+        AND src <> ''
       GROUP BY src, dst
     )"""
 
@@ -2408,7 +2414,9 @@ def link_host_edges(pages: DataFrame) -> DataFrame:
         lk.select(
             "src", F.regexp_extract("target", _LINK_HOST_RE, 1).alias("dst")
         )
-        .filter(F.col("dst") != "")
+        # != '' also drops null src (null-url page): null != '' is
+        # null, filtered — same rows the oracle's `src <> ''` drops
+        .filter((F.col("dst") != "") & (F.col("src") != ""))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_links"))
     )
@@ -2435,7 +2443,9 @@ def crawl_outlinks(spark, sf_dir):
     )
 
 
-def _pagerank_cte_sql(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_cte_sql(
+    iters: int = 3, damping: float = 0.85, path: str | None = None
+) -> str:
     """Unrolled-iteration DuckDB CTE chain for operators.graph.pagerank
     — same node set, teleport, dangling redistribution and
     per-iteration round(…, 10) (see the pagerank docstring for the
@@ -2443,7 +2453,7 @@ def _pagerank_cte_sql(iters: int = 3, damping: float = 0.85) -> str:
     append their own final SELECT (graph_pagerank_hosts reads the
     ranks, crawl_frontier joins them onto uncrawled link targets)."""
     parts = [
-        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w"),
+        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w", path),
         """
     , nodes AS (
       SELECT DISTINCT host FROM (
@@ -2475,9 +2485,11 @@ def _pagerank_cte_sql(iters: int = 3, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
-def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iters: int = 3, damping: float = 0.85, path: str | None = None
+) -> str:
     return (
-        _pagerank_cte_sql(iters, damping)
+        _pagerank_cte_sql(iters, damping, path)
         + f"\n    SELECT host, round(rank, 6) AS pagerank FROM r{iters}"
     )
 
@@ -2505,16 +2517,20 @@ def graph_pagerank_hosts(spark, sf_dir):
     return pr.select("host", F.round("rank", 6).alias("pagerank"))
 
 
-@q(
-    "dedup_url_latest",
-    f"""
+def _url_latest_sql(path: str | None = None) -> str:
+    return f"""
     SELECT url,
       max(warc_ts) AS last_ts,
       count(*) AS n_snapshots,
       arg_max(length(decode(html)), warc_ts) AS last_html_len
-    FROM read_parquet('{_link_corpus_path()}')
+    FROM read_parquet('{path or _link_corpus_path()}')
     GROUP BY url
-    """,
+    """
+
+
+@q(
+    "dedup_url_latest",
+    _url_latest_sql(),
     "Keep-newest-snapshot-per-url dedup over a crawl with revisits: "
     "last capture timestamp, snapshot count, and an attribute of the "
     "WINNING row (its html length) via max_by/arg_max.",
@@ -2539,13 +2555,13 @@ def dedup_url_latest(spark, sf_dir):
     )
 
 
-def _hits_sql(iters: int = 3) -> str:
+def _hits_sql(iters: int = 3, path: str | None = None) -> str:
     """Unrolled-iteration DuckDB oracle for operators.graph.hits —
     same node set, auth-then-hub update order, L1 normalization and
     per-half-step round(…, 10) (see the hits docstring for the
     semantics; keep the two in sync)."""
     parts = [
-        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w"),
+        _link_edges_sql("CAST(count(*) AS DOUBLE) AS w", path),
         """
     , nodes AS (
       SELECT DISTINCT host FROM (
@@ -2608,12 +2624,12 @@ def graph_hits_hosts(spark, sf_dir):
 _LINK_ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
 
 
-@q(
-    "crawl_anchor_text",
-    f"""
+def _anchor_text_sql(path: str | None = None) -> str:
+    return f"""
     WITH pages AS (
       SELECT decode(html) AS page
-      FROM read_parquet('{_link_corpus_path()}') WHERE html IS NOT NULL
+      FROM read_parquet('{path or _link_corpus_path()}')
+      WHERE html IS NOT NULL
     ), an AS (
       SELECT unnest(regexp_extract_all(page, '{_LINK_ANCHOR_RE}')) AS a
       FROM pages
@@ -2635,7 +2651,12 @@ _LINK_ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
         row_number() OVER (PARTITION BY dst ORDER BY n DESC, atext) AS rn
       FROM cnt)
     WHERE rn = 1
-    """,
+    """
+
+
+@q(
+    "crawl_anchor_text",
+    _anchor_text_sql(),
     "Anchor-text aggregation per target host — incoming anchor count, "
     "distinct-text count, and the modal anchor text (ties broken "
     "lexicographically). Anchor text is the classic off-page "
@@ -2695,21 +2716,32 @@ def crawl_anchor_text(spark, sf_dir):
     )
 
 
-@q(
-    "crawl_frontier",
-    _pagerank_cte_sql()
-    + f"""
+def _frontier_sql(path: str | None = None) -> str:
+    # `host IS NOT NULL` is load-bearing: a null-url page yields a
+    # NULL crawled host, and a NULL inside a NOT IN list makes the
+    # whole predicate NULL — every frontier row silently vanishes.
+    # Spark's left_anti has no such trap; the guard keeps the two
+    # engines on the same semantics for null-url corpora.
+    return (
+        _pagerank_cte_sql(path=path)
+        + f"""
     , crawled AS (
       SELECT DISTINCT regexp_extract(url, '{_LINK_HOST_RE}', 1) AS host
-      FROM read_parquet('{_link_corpus_path()}')
+      FROM read_parquet('{path or _link_corpus_path()}')
     )
     SELECT e.dst AS host, count(*) AS n_referrers,
       CAST(sum(e.w) AS BIGINT) AS inlinks,
       round(sum(e.w * r.rank), 6) AS authority_score
     FROM edges e JOIN r3 r ON r.host = e.src
-    WHERE e.dst NOT IN (SELECT host FROM crawled)
+    WHERE e.dst NOT IN (SELECT host FROM crawled WHERE host IS NOT NULL)
     GROUP BY e.dst
-    """,
+    """
+    )
+
+
+@q(
+    "crawl_frontier",
+    _frontier_sql(),
     "Crawl-frontier prioritization: hosts that are linked to but "
     "never crawled, scored by the PageRank mass of their referrers "
     "(OPIC-style importance propagation) — which discovered hosts to "
@@ -2718,9 +2750,8 @@ def crawl_anchor_text(spark, sf_dir):
 def crawl_frontier(spark, sf_dir):
     """Anti-join against the crawled-host dim (O(hosts), explicitly
     broadcast); referrer ranks are the O(hosts) pagerank frame joined
-    onto the edge list once. No NOT IN null trap on the Spark side —
-    left_anti has clean semantics; the oracle's url column is
-    fixture-guaranteed non-null."""
+    onto the edge list once. left_anti never matches a null chost,
+    mirroring the oracle's null-guarded NOT IN."""
     from eugl_spark.operators.graph import pagerank
 
     pages = _link_pages(spark)
@@ -2749,14 +2780,14 @@ def crawl_frontier(spark, sf_dir):
     )
 
 
-def _crawl_corpus_sql() -> str:
+def _crawl_corpus_sql(path: str | None = None) -> str:
     """Crawl-capstone oracle: newest-snapshot winners → html
     extraction → the FULL verdict chain (heuristics + langid + ppl,
     the same CTE recipes pipeline_full_corpus composes) → host
     PageRank annotation. Reuses _pagerank_cte_sql verbatim, so the
     authority column is term-for-term the graph_pagerank_hosts
     oracle's."""
-    path = _link_corpus_path()
+    path = path or _link_corpus_path()
     winners = f"""
     , winners AS MATERIALIZED (
       SELECT url, arg_max(html, warc_ts) AS html,
@@ -2771,7 +2802,7 @@ def _crawl_corpus_sql() -> str:
     )"""
     metrics = _qf_metrics_sql("wdocs").replace("\nWITH m AS", "\n, m AS", 1)
     return (
-        _pagerank_cte_sql()
+        _pagerank_cte_sql(path=path)
         + winners
         + metrics
         + ", "
@@ -2784,8 +2815,8 @@ def _crawl_corpus_sql() -> str:
       regexp_extract(s.doc_id, '{_LINK_HOST_RE}', 1) AS host,
       round(coalesce(r.rank, 0.0), 6) AS host_rank
     FROM s
-    JOIN lid ON lid.doc_id = s.doc_id
-    JOIN ppl ON ppl.doc_id = s.doc_id
+    JOIN lid ON lid.doc_id IS NOT DISTINCT FROM s.doc_id
+    JOIN ppl ON ppl.doc_id IS NOT DISTINCT FROM s.doc_id
     LEFT JOIN r3 r
       ON r.host = regexp_extract(s.doc_id, '{_LINK_HOST_RE}', 1)
     """

@@ -1,0 +1,166 @@
+"""Pathological link-corpus sweep: every oracle-backed web-graph /
+crawl query runs over a hard-input crawl in BOTH engines and must
+still hash-match (same framework as the documents/events/embeddings/
+relational sweeps; this family was added with the web-graph ops).
+
+Hard families: null/empty/anchorless html, empty href, no-path and
+uppercase-scheme and javascript: targets, anchor text containing '<',
+malformed own url, NULL own url (the frontier NOT-IN trap and the
+capstone join-drop trap), tied-timestamp revisits, a 500-anchor page,
+hrefs with spaces, a unicode host, a self-loop host and an isolated
+2-cycle (PageRank/HITS corner shapes), and a pre-extracted-text row
+(capstone CASE branch). Broken UTF-8 html is Spark-only: DuckDB's
+decode() hard-errors on invalid UTF-8 while the engine must survive
+it (U+FFFD) — asserted separately below.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import eugl_spark.plans.queries as Q
+from eugl_spark.plans.compare import compare_frames
+from eugl_spark.plans.queries import REGISTRY
+
+T0 = datetime(2024, 5, 1)
+
+
+def _page(i, url, html, text=None, lang="en", ts=None):
+    return {
+        "url": url,
+        "warc_ts": ts if ts is not None else T0 + timedelta(minutes=i),
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def _a(t, txt="x"):
+    return f'<a href="{t}">{txt}</a>'
+
+
+_BIG = ("<p>filler</p>\n" + _a("https://big-target.example/p/1", "big") * 500)
+
+PATHO = [
+    _page(0, "https://ok.example/p/0", None),  # null html
+    _page(1, "https://ok.example/p/1", b""),  # empty html
+    _page(2, "https://ok.example/p/2", b"<html><body>no links</body></html>"),
+    _page(3, "https://ok.example/p/3", _a("", "empty").encode()),
+    _page(4, "https://ok.example/p/4", _a("https://nopath.example").encode()),
+    _page(5, "https://ok.example/p/5", _a("HTTPS://UP.example/x").encode()),
+    _page(6, "https://ok.example/p/6", _a("javascript:void(0)").encode()),
+    # anchor text with '<': edge counts (href contract), anchor-text
+    # pair regex rejects it
+    _page(7, "https://ok.example/p/7",
+          _a("https://linked.example/a", "a < b").encode()),
+    # malformed own url: anchors present but src has no host -> no edges
+    _page(8, "not a url %%% ::", _a("https://linked.example/b").encode()),
+    # NULL own url: same, plus the dedup/capstone null-group cases
+    _page(9, None, _a("https://linked.example/c").encode()),
+    # tied-timestamp revisits with IDENTICAL html (deterministic
+    # despite the tie on every max_by/arg_max)
+    _page(10, "https://tie.example/p/0",
+          _a("https://linked.example/d").encode(), ts=T0 + timedelta(days=1)),
+    _page(11, "https://tie.example/p/0",
+          _a("https://linked.example/d").encode(), ts=T0 + timedelta(days=1)),
+    _page(12, "https://ok.example/p/12", _BIG.encode()),  # 500 anchors
+    _page(13, "https://ok.example/p/13",
+          _a("https://sp.example/a b c", "spaces").encode()),
+    _page(14, "https://ok.example/p/14",
+          _a("https://пример.example/п", "unicode").encode()),
+    # self-loop host
+    _page(15, "https://loop.example/p/0",
+          _a("https://loop.example/p/0", "me").encode()),
+    # isolated 2-cycle between two never-elsewhere-seen hosts
+    _page(16, "https://cyc-a.example/p/0",
+          _a("https://cyc-b.example/p/0").encode()),
+    _page(17, "https://cyc-b.example/p/0",
+          _a("https://cyc-a.example/p/0").encode()),
+    # pre-extracted text, no html (capstone CASE branch; no edges)
+    _page(18, "https://ok.example/p/18", None,
+          text="the day was good and we had the best of times there"),
+    # null lang
+    _page(19, "https://ok.example/p/19",
+          (_a("https://linked.example/e") * 3).encode(), lang=None),
+]
+
+_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def patho_link_path(tmp_path_factory) -> str:
+    p = str(tmp_path_factory.mktemp("patho_links") / "pages.parquet")
+    tbl = pa.Table.from_pylist(PATHO, schema=_SCHEMA)
+    pq.write_table(tbl, p)
+    return p
+
+
+# query name -> oracle-SQL builder over an arbitrary corpus path (the
+# registry binds the same builders to the canonical fixture)
+_BUILDERS = {
+    "crawl_outlinks": lambda p: Q._link_edges_sql("count(*) AS n_links", p)
+    + "\n    SELECT src AS src_host, dst AS dst_host, n_links FROM edges",
+    "graph_pagerank_hosts": lambda p: Q._pagerank_sql(path=p),
+    "graph_hits_hosts": lambda p: Q._hits_sql(path=p),
+    "crawl_anchor_text": Q._anchor_text_sql,
+    "crawl_frontier": Q._frontier_sql,
+    "dedup_url_latest": Q._url_latest_sql,
+    "crawl_build_corpus": Q._crawl_corpus_sql,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_BUILDERS))
+def test_link_family_on_pathological_corpus(
+    spark, patho_link_path, name, monkeypatch
+):
+    monkeypatch.setattr(
+        Q, "_link_pages", lambda s: s.read.parquet(patho_link_path)
+    )
+    got = REGISTRY[name].spark(spark, "").toPandas()
+    con = duckdb.connect()  # keep a live ref: .sql() is lazy
+    want = con.sql(_BUILDERS[name](patho_link_path)).df()
+    res = compare_frames(got, want)
+    assert res["values_match"], (name, res["diff"])
+    # the sweep must exercise real work, not vacuous empties
+    if name in ("crawl_outlinks", "dedup_url_latest", "crawl_build_corpus"):
+        assert len(got) > 0
+
+
+def test_edges_exclude_hostless_sources(spark, patho_link_path):
+    """Malformed and null own-urls contribute NO edges (no phantom ''
+    src node), while their anchors' targets still reach the graph only
+    via well-formed pages."""
+    edges = Q.link_host_edges(spark.read.parquet(patho_link_path))
+    srcs = {r["src"] for r in edges.select("src").distinct().collect()}
+    assert "" not in srcs and None not in srcs
+
+
+def test_broken_utf8_html_spark_only(spark):
+    """Invalid UTF-8 html must not throw on the engine side: the cast
+    degrades to U+FFFD and anchors in the valid region still extract.
+    (DuckDB's decode() hard-errors here, so this family stays out of
+    the parity sweep by design.)"""
+    rows = [
+        (
+            "https://bad.example/p/0",
+            b"\xff\xfe garbage " + _a("https://ok-target.example/x").encode(),
+        )
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    edges = Q.link_host_edges(df).collect()
+    assert {(r["src"], r["dst"]) for r in edges} == {
+        ("bad.example", "ok-target.example")
+    }
