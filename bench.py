@@ -519,19 +519,23 @@ def main_scaling() -> None:
     # conditions (drift), so each job gets its own simultaneous pair
     results: dict[int, tuple] = {}
     pipe_outs = _concurrent_pair("--pipeline-only", cwd)
-    # Dedup pair: best of 3 simultaneous pairs. Each child is already
-    # min-of-5 inside one JVM, but the 4-core member still varies up to
-    # ~1.8× BETWEEN pairs (minute-scale host bus-contention windows that
-    # a single pair cannot average out, measured spread 0.54–0.93 in one
-    # afternoon). Keep the pair with the best efficiency — the host can
-    # only ever slow a run down, so the best pair is the closest view of
-    # the engine — and report the full spread alongside it.
+    # Dedup pair: least-loaded of 3 simultaneous pairs. Each child is
+    # already min-of-5 inside one JVM, but the 4-core member still
+    # varies up to ~1.8× BETWEEN pairs (minute-scale host
+    # bus-contention windows a single pair cannot average out; measured
+    # spread 0.54–0.93 in one afternoon). Select by MIN(p1 + p4) — the
+    # pair the host slowed least, since contention only ever adds time
+    # — NOT by max efficiency: maximizing the ratio preferentially
+    # picks pairs whose 1-core member was host-inflated and biases the
+    # criterion metric upward (it could even exceed 1.0). The full
+    # per-pair efficiency spread is reported alongside.
     dedup_pairs = []
     for _ in range(3):
         douts = _concurrent_pair("--dedup-only", cwd)
         p1, p4 = _parse_dedup(douts[1]), _parse_dedup(douts[4])
         dedup_pairs.append((p1, p4, (p1 / p4) / 4))
-    dsec = dict(zip((1, 4), max(dedup_pairs, key=lambda t: t[2])[:2]))
+    best = min(dedup_pairs, key=lambda t: t[0] + t[1])
+    dsec = {1: best[0], 4: best[1]}
     dspread = sorted(t[2] for t in dedup_pairs)
     for cores, o in pipe_outs.items():
         n, secs = _parse_pipeline(o)
@@ -563,9 +567,11 @@ level; best of 5 timed runs after a warm-up. The 1- and 4-core runs
 execute CONCURRENTLY on disjoint CPU sets: this shared host's absolute
 throughput drifts several-fold between minutes, so only a simultaneous
 pair yields a meaningful ratio (8/32 rows are sequential, indicative
-only). The dedup job reports the best of 3 simultaneous pairs — its
-4-core member varies up to ~1.8× between pairs on this host — with the
-per-pair efficiency spread printed below.
+only). The dedup job reports the least-loaded of 3 simultaneous pairs
+(selected by minimum total runtime, never by the efficiency ratio
+itself — see bench.py for why ratio-selection would bias upward); its
+4-core member varies up to ~1.8× between pairs on this host. The
+per-pair efficiency spread is printed below.
 
 **Job A — pipeline** (map-only: extract → heuristics → langid →
 perplexity → scrub → verdict over {results[8][0]} synthetic pages):
@@ -593,7 +599,7 @@ quality-filter pipeline (BASELINE.json "docs/sec with scaling
 efficiency ≥ 0.8") — measures (docs/sec@4 ÷ docs/sec@1) ÷ 4 =
 **{eff14:.2f}** (target ≥ 0.8). Supplementary evidence that exchange
 stages scale too: the shuffle-heavy dedup job measures (t@1 ÷ t@4) ÷ 4
-= **{deff14:.2f}** (best of 3 pairs; per-pair spread
+= **{deff14:.2f}** (least-loaded of 3 pairs; per-pair spread
 {dspread[0]:.2f}–{dspread[-1]:.2f}) — its residual gap is the ~1s of
 fixed driver cost (checkpoint job boundaries, final collect) against a
 {d1:.0f}s job, which amortizes further with input size.
@@ -607,13 +613,10 @@ the box measures its memory bus, not the engine. On a real N→4N
 pair (fully below the saturation knee) is the faithful proxy for
 coordination/shuffle overhead, which is what the criterion tests.
 
-Run-to-run history (same jobs, successive rounds at each round's
-HEAD): pipeline pair 0.80 / 0.96 (r3, ~20 min apart) → 0.94 / 0.94
-(r4, hours apart). Dedup pair 0.81 / 0.83 (r3) → spread 0.54–0.93
-across 7 r4 pairs with the 1-core member stable (~20–21s) and the
-4-core member sampling the host's minute-scale bus contention — the
-motivation for the best-of-3-pairs protocol above. Every measured
-pipeline pair in every round clears the ≥ 0.8 criterion.
+This file is regenerated whole by `python bench.py --scaling`; it
+reports only what THIS run measured. Round-over-round history lives
+in the git log of this file (and the per-round BENCH_r*.json), not in
+a hand-maintained paragraph that could outlive the numbers it cites.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

@@ -331,8 +331,11 @@ def hits(
             )
         )
 
+    # iters=0 returns the uniform initial state for BOTH vectors
+    # (pagerank's iters=0 contract), not an AttributeError on the
+    # never-assigned authority frame
     hubs = nodes.withColumn("s", F.lit(1.0 / n_nodes))
-    auths = None
+    auths = hubs
     for _ in range(iters):
         auths = _half_step(hubs, "src", "dst")
         hubs = _half_step(auths, "dst", "src")

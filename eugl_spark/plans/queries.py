@@ -2443,6 +2443,18 @@ def crawl_outlinks(spark, sf_dir):
     )
 
 
+def _graph_nodes_sql() -> str:
+    """THE graph-node-set CTE (nodes = distinct src ∪ dst, plus the
+    node count) — one definition shared by the PageRank and HITS
+    oracles so their node universes cannot desynchronize (the
+    _md5_int_sql/_ngram_arr pattern)."""
+    return """
+    , nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)"""
+
+
 def _pagerank_cte_sql(
     iters: int = 3, damping: float = 0.85, path: str | None = None
 ) -> str:
@@ -2454,12 +2466,9 @@ def _pagerank_cte_sql(
     ranks, crawl_frontier joins them onto uncrawled link targets)."""
     parts = [
         _link_edges_sql("CAST(count(*) AS DOUBLE) AS w", path),
+        _graph_nodes_sql(),
         """
-    , nodes AS (
-      SELECT DISTINCT host FROM (
-        SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
-    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+    , outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
     r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""",
     ]
     for k in range(1, iters + 1):
@@ -2517,12 +2526,25 @@ def graph_pagerank_hosts(spark, sf_dir):
     return pr.select("host", F.round("rank", 6).alias("pagerank"))
 
 
+def _arg_max_row_sql(expr: str, ord_expr: str) -> str:
+    """DuckDB arg_max with Spark max_by's WINNING-ROW semantics.
+
+    Bare arg_max SKIPS rows whose value argument is NULL, so a url
+    whose newest snapshot has html=NULL would report an OLDER
+    snapshot's attribute — while Spark's max_by returns the newest
+    row's value even when it is NULL (verified divergence; caught in
+    review before any mixed-null fixture existed). Wrapping the value
+    in a 1-field struct makes the argument never-NULL, so arg_max
+    picks the true winner, then the field is unwrapped."""
+    return f"(arg_max(struct_pack(v := {expr}), {ord_expr})).v"
+
+
 def _url_latest_sql(path: str | None = None) -> str:
     return f"""
     SELECT url,
       max(warc_ts) AS last_ts,
       count(*) AS n_snapshots,
-      arg_max(length(decode(html)), warc_ts) AS last_html_len
+      {_arg_max_row_sql("length(decode(html))", "warc_ts")} AS last_html_len
     FROM read_parquet('{path or _link_corpus_path()}')
     GROUP BY url
     """
@@ -2562,12 +2584,9 @@ def _hits_sql(iters: int = 3, path: str | None = None) -> str:
     semantics; keep the two in sync)."""
     parts = [
         _link_edges_sql("CAST(count(*) AS DOUBLE) AS w", path),
+        _graph_nodes_sql(),
         """
-    , nodes AS (
-      SELECT DISTINCT host FROM (
-        SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
-    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    h0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS s FROM nodes)""",
+    , h0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS s FROM nodes)""",
     ]
     for k in range(1, iters + 1):
         parts.append(f"""
@@ -2790,9 +2809,10 @@ def _crawl_corpus_sql(path: str | None = None) -> str:
     path = path or _link_corpus_path()
     winners = f"""
     , winners AS MATERIALIZED (
-      SELECT url, arg_max(html, warc_ts) AS html,
-             arg_max(text, warc_ts) AS text,
-             arg_max(lang, warc_ts) AS lang
+      SELECT url,
+             {_arg_max_row_sql("html", "warc_ts")} AS html,
+             {_arg_max_row_sql("text", "warc_ts")} AS text,
+             {_arg_max_row_sql("lang", "warc_ts")} AS lang
       FROM read_parquet('{path}') GROUP BY url
     ), wdocs AS MATERIALIZED (
       SELECT url AS doc_id, lang, NULL AS source,

@@ -87,6 +87,21 @@ PATHO = [
     # null lang
     _page(19, "https://ok.example/p/19",
           (_a("https://linked.example/e") * 3).encode(), lang=None),
+    # mixed-null snapshots of ONE url — the arg_max/max_by divergence
+    # class the review repro'd: the WINNING (newest) row's attribute
+    # must be reported even when it is NULL, in both engines.
+    # (a) WET-then-WARC: first capture pre-extracted text, html NULL;
+    #     newer capture html, text NULL → winner text IS NULL
+    _page(20, "https://mix.example/p/0", None,
+          text="wet conversion text from the first capture of the page"),
+    _page(21, "https://mix.example/p/0",
+          b"<html><body><p>the newest capture has html and the day was "
+          b"good for all of them</p></body></html>"),
+    # (b) WARC-then-lost: newest snapshot has NULL html → the winning
+    #     html length is NULL even though an older snapshot had html
+    _page(22, "https://mix.example/p/1",
+          b"<html><body><p>older capture body</p></body></html>"),
+    _page(23, "https://mix.example/p/1", None),
 ]
 
 _SCHEMA = pa.schema(

@@ -226,3 +226,14 @@ def test_span_coverage_hand_docs(spark):
     # doc 4: every position is inside some duplicated 8-gram
     assert out[4]["covered_tokens"] == out[4]["n_tokens"] == 16
     assert out[4]["dup_fraction"] == 1.0
+
+
+def test_hits_zero_iterations_uniform(spark):
+    """iters=0 returns the uniform initial state for both vectors
+    (pagerank's iters=0 contract), not a crash."""
+    from eugl_spark.operators.graph import hits
+
+    out = hits(_edges(spark, [("a", "b", 1.0), ("b", "c", 1.0)]), iters=0)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["hub"] == r["authority"] == pytest.approx(1 / 3) for r in rows)
