@@ -204,6 +204,28 @@ def capstone_sf1_dir(mult: int = 10) -> str:
     return out_dir
 
 
+def link_scaled_path(n_rows: int) -> str:
+    """Scaled link corpus for the web-graph bench jobs, cached by
+    generator-source hash (the registry fixture's recipe) + row count;
+    a different seed than the fixture so no cache aliasing."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from eugl_spark import corpus
+
+    ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
+    p = os.path.join(
+        tempfile.gettempdir(), f"eugl_link_scaled_{ver}_{n_rows}.parquet"
+    )
+    if not os.path.exists(p):
+        tmp = f"{p}.{os.getpid()}.tmp"
+        corpus.write_link_pages_parquet(tmp, n_rows=n_rows, seed=11)
+        os.replace(tmp, p)
+        print(f"link_scaled: {n_rows} pages at {p}", file=sys.stderr)
+    return p
+
+
 def main_bench() -> None:
     from eugl_spark.plans.queries import REGISTRY
     from eugl_spark.session import get_spark
@@ -280,6 +302,40 @@ def main_bench() -> None:
 
     jobs.append(("warc_ingest_native", _ingest_native))
     jobs.append(("warc_ingest_exact", _ingest_exact))
+
+    # web-graph ops over an sf-SCALED link corpus (the registry
+    # entries are pinned to the 1.2k-row oracle fixture; these time
+    # the same plans at ~40k pages/sf0.1 so the scale-shape claims —
+    # map-side edge collapse, O(hosts) rank frame — are measured, not
+    # asserted)
+    link_scaled = link_scaled_path(int(40_000 * sf / 0.1))
+
+    def _webgraph_scaled():
+        from eugl_spark.operators.graph import pagerank
+        from eugl_spark.plans.queries import link_host_edges
+
+        pg = spark.read.parquet(link_scaled)
+        edges = link_host_edges(pg).withColumnRenamed("n_links", "w")
+        return pagerank(edges, iters=3).count()
+
+    def _snapshot_collapse_scaled():
+        from pyspark.sql import functions as F
+
+        pg = spark.read.parquet(link_scaled)
+        return (
+            pg.groupBy("url")
+            .agg(
+                F.max("warc_ts").alias("last_ts"),
+                F.count("*").alias("n_snapshots"),
+                F.max_by(
+                    F.length(F.col("html").cast("string")), "warc_ts"
+                ).alias("last_html_len"),
+            )
+            .count()
+        )
+
+    jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
+    jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))
     jobs.append(
         (
             "corpus_build_train_sf03",

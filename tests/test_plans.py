@@ -196,3 +196,48 @@ def test_repetition_profile_nwc_below_explode(spark, sf_dir):
     # optimizedPlan prints top-down: deeper (earlier-executed) nodes
     # have LARGER line indices, so "below the explode" = after it
     assert min(agg_at) > max(gen_at), plan
+
+
+def test_outlinks_partial_agg_no_python(spark):
+    """The edge-list groupBy partially aggregates map-side (two
+    HashAggregate levels around one exchange) and the whole extraction
+    is JVM-side — no Python boundary anywhere."""
+    from eugl_spark.plans.queries import REGISTRY, ensure_link_corpus
+
+    ensure_link_corpus()
+    p = _plan(REGISTRY["crawl_outlinks"].spark(spark, ""))
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_frontier_broadcast_anti_join(spark):
+    """The crawled-host dim joins as a broadcast LeftAnti — the
+    frontier never shuffles the edge list against the dim."""
+    from eugl_spark.plans.queries import REGISTRY, ensure_link_corpus
+
+    ensure_link_corpus()
+    p = _plan(REGISTRY["crawl_frontier"].spark(spark, ""))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_anchor_text_window_over_aggregate(spark):
+    """The mode window must run over the (host, text) AGGREGATE: the
+    plan's Window sits above a HashAggregate pair, and no Python."""
+    from eugl_spark.plans.queries import REGISTRY, ensure_link_corpus
+
+    ensure_link_corpus()
+    p = _plan(REGISTRY["crawl_anchor_text"].spark(spark, ""))
+    assert "EvalPython" not in p
+    assert "Window" in p
+    # aggregation happens below the window operator in the plan text
+    assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_span_coverage_no_cartesian(spark, sf_dir):
+    """Candidate generation is an equi-join on the gram hash — never a
+    doc×doc product."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    p = _plan(REGISTRY["dedup_span_coverage"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
