@@ -67,6 +67,7 @@ HEADLINE = [
     "crawl_frontier",
     "dedup_span_coverage",
     "crawl_build_corpus",
+    "crawl_host_quality",
 ]
 
 

@@ -1,0 +1,73 @@
+"""robots.txt → host-rules: turn raw robots bodies into the (host,
+action) policy dim `apply_pipeline(host_rules=...)` consumes.
+
+Crawl curation has three host-level signals — authority (PageRank),
+recency (snapshot dedup) and PERMISSION (robots policy); this module
+supplies the third. The reference's analog is its ancillary
+site/acquisition metadata gating which granules a run processes
+(/root/reference/eugl/metadata.py's per-acquisition lookups feeding
+the verdicts).
+
+Parsing contract (the widely-implemented core of REP / RFC 9309,
+deliberately simplified and documented rather than a full matcher —
+the pipeline's policy dim only speaks deny/sample):
+
+* only the FIRST ``User-agent: *`` group applies (agent-specific
+  groups are for other crawlers; a fetcher honoring a specific token
+  should pre-resolve bodies before this step);
+* the group runs to the next ``User-agent:`` line or end-of-body;
+* ``Disallow: /`` (entire site, optionally with trailing whitespace)
+  in that group → action ``deny`` — path-scoped disallows do NOT deny
+  the host (path filtering is a url-level concern, not a host rule);
+* ``Crawl-delay: N`` with N ≥ CRAWL_DELAY_SAMPLE_THRESHOLD in that
+  group → action ``sample:{CRAWL_DELAY_SAMPLE_PCT}`` (a politeness
+  throttle re-expressed as the pipeline's deterministic keep-percent;
+  deny wins when both are present);
+* everything else (no wildcard group, path disallows, comments,
+  empty body, null body) → NO row: absent hosts fail OPEN, exactly
+  like apply_pipeline's unknown-action contract.
+
+Everything is JVM-side regexp (whole-stage codegen, no Python) and
+the output is a distinct-host dim sized O(hosts) — broadcastable at
+any corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the first User-agent: * group, up to the next group or end. (?is):
+# case-insensitive, dot-matches-newline for the body capture.
+_WILDCARD_GROUP_RE = r"(?is)user-agent:[ \t]*\*[ \t]*\r?\n(.*?)(?=user-agent:|$)"
+# within a group: (?im) line-anchored, case-insensitive
+_DENY_ALL_RE = r"(?im)^disallow:[ \t]*/[ \t]*\r?$"
+_CRAWL_DELAY_RE = r"(?im)^crawl-delay:[ \t]*([0-9]+)"
+
+CRAWL_DELAY_SAMPLE_THRESHOLD = 10  # seconds; ≥ this → sampled host
+CRAWL_DELAY_SAMPLE_PCT = 10  # deterministic keep-percent applied
+
+
+def parse_robots_rules(robots: DataFrame) -> DataFrame:
+    """(host, body) robots.txt frame → (host, action) rules dim.
+
+    See the module docstring for the parsing contract. Output has one
+    row per host that needs a non-default policy; pass it straight to
+    ``apply_pipeline(host_rules=...)``.
+    """
+    grp = F.regexp_extract("body", _WILDCARD_GROUP_RE, 1)
+    deny_all = grp.rlike(_DENY_ALL_RE)
+    delay = F.regexp_extract(grp, _CRAWL_DELAY_RE, 1).try_cast("int")
+    action = F.when(deny_all, F.lit("deny")).when(
+        delay >= CRAWL_DELAY_SAMPLE_THRESHOLD,
+        F.lit(f"sample:{CRAWL_DELAY_SAMPLE_PCT}"),
+    )
+    return (
+        robots.filter(F.col("body").isNotNull())
+        .select("host", action.alias("action"))
+        .filter(F.col("action").isNotNull())
+        # a crawl may carry several snapshots of one robots.txt;
+        # deny > sample so the strictest observed policy wins
+        .groupBy("host")
+        .agg(F.min("action").alias("action"))  # 'deny' < 'sample:…'
+    )

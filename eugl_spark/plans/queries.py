@@ -2888,6 +2888,48 @@ def crawl_build_corpus(spark, sf_dir):
     )
 
 
+def _host_quality_sql(path: str | None = None) -> str:
+    """Per-host rollup of the capstone frame — the 'which hosts feed
+    the corpus, and are their docs any good' dashboard."""
+    return f"""
+    SELECT host, count(*) AS n_docs,
+      CAST(count(*) FILTER (WHERE reason = 'KEEP') AS BIGINT) AS n_keep,
+      round(CAST(count(*) FILTER (WHERE reason = 'KEEP') AS DOUBLE)
+            / count(*), 6) AS keep_rate,
+      max(host_rank) AS host_rank
+    FROM ({_crawl_corpus_sql(path)})
+    GROUP BY host
+    """
+
+
+@q(
+    "crawl_host_quality",
+    _host_quality_sql(),
+    "Per-host corpus dashboard over the crawl capstone: doc count, "
+    "keep count/rate from the full verdict chain, and the host's "
+    "PageRank — the join of quality and authority that decides which "
+    "hosts to crawl deeper.",
+)
+def crawl_host_quality(spark, sf_dir):
+    """Rolls up the capstone frame; host_rank is constant per host so
+    max() is just a pick. One extra partial-agg groupBy over an
+    O(urls) frame — the expensive stages are the capstone's."""
+    return (
+        crawl_build_corpus(spark, sf_dir)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("reason") == "KEEP").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum((F.col("reason") == "KEEP").cast("double"))
+                / F.count("*"),
+                6,
+            ).alias("keep_rate"),
+            F.max("host_rank").alias("host_rank"),
+        )
+    )
+
+
 # Exact-substring duplication profile (the "Deduplicating Training
 # Data Makes Language Models Better" signal, scaled to the fixture):
 # a span is duplicated if its word-8-gram occurs ≥2 times in the
@@ -5060,6 +5102,11 @@ _SNAPSHOT_TAIL = [
     # is streaming-adjacent evidence the 3 streaming test files +
     # events_asof keep covered; driver-green r01–r03
     "events_sessionize",
+    # demoted with crawl_host_quality: the qf family keeps verdict /
+    # scrub / token_stats / ppl_buckets / calibration in-window;
+    # drop-reason histogram evidence also lives in the capstone's
+    # reason column. Driver-green r01–r03.
+    "qf_drop_reason_dist",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

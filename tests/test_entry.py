@@ -85,6 +85,7 @@ FLAGSHIPS = [
     "crawl_frontier",
     "dedup_span_coverage",
     "crawl_build_corpus",
+    "crawl_host_quality",
 ]
 
 

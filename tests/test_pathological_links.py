@@ -134,6 +134,7 @@ _BUILDERS = {
     "crawl_frontier": Q._frontier_sql,
     "dedup_url_latest": Q._url_latest_sql,
     "crawl_build_corpus": Q._crawl_corpus_sql,
+    "crawl_host_quality": Q._host_quality_sql,
 }
 
 

@@ -1,0 +1,136 @@
+"""robots.txt → host-rules parsing contract, and its integration with
+apply_pipeline's host policy (deny and deterministic sampling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eugl_spark.functions.robots import parse_robots_rules
+from eugl_spark.pipeline import apply_pipeline
+
+
+def _rules(spark, rows) -> dict:
+    df = spark.createDataFrame(rows, "host string, body string")
+    return {r["host"]: r["action"] for r in parse_robots_rules(df).collect()}
+
+
+def test_deny_all_and_negatives(spark):
+    rows = [
+        ("deny.example", "User-agent: *\nDisallow: /\n"),
+        # path-scoped disallow is NOT a host deny
+        ("path.example", "User-agent: *\nDisallow: /private/\n"),
+        # wildcard group absent: agent-specific rules are not ours
+        ("other.example", "User-agent: OtherBot\nDisallow: /\n"),
+        # empty / null bodies -> no rule (fail open)
+        ("empty.example", ""),
+        ("null.example", None),
+        # allow-everything group
+        ("allow.example", "User-agent: *\nDisallow:\n"),
+    ]
+    got = _rules(spark, rows)
+    assert got == {"deny.example": "deny"}
+
+
+def test_case_and_whitespace_and_crlf(spark):
+    rows = [
+        ("a.example", "USER-AGENT: * \r\nDISALLOW: / \r\n"),
+        ("b.example", "user-agent:\t*\ndisallow: /\n"),
+    ]
+    got = _rules(spark, rows)
+    assert got == {"a.example": "deny", "b.example": "deny"}
+
+
+def test_group_boundary_stops_at_next_agent(spark):
+    """A Disallow: / belonging to a LATER agent-specific group must
+    not leak into the wildcard group."""
+    body = (
+        "User-agent: *\nDisallow: /tmp/\n\n"
+        "User-agent: BadBot\nDisallow: /\n"
+    )
+    assert _rules(spark, [("x.example", body)]) == {}
+
+
+def test_crawl_delay_maps_to_sampling(spark):
+    rows = [
+        ("slow.example", "User-agent: *\nCrawl-delay: 30\n"),
+        ("fast.example", "User-agent: *\nCrawl-delay: 2\n"),
+        # deny wins over delay
+        ("both.example", "User-agent: *\nCrawl-delay: 30\nDisallow: /\n"),
+        # absurd delay value must not ANSI-abort (try_cast)
+        ("huge.example", "User-agent: *\nCrawl-delay: 99999999999999\n"),
+    ]
+    got = _rules(spark, rows)
+    assert got["slow.example"] == "sample:10"
+    assert "fast.example" not in got
+    assert got["both.example"] == "deny"
+    assert "huge.example" not in got  # overflow -> null -> no rule
+
+
+def test_strictest_policy_wins_across_snapshots(spark):
+    rows = [
+        ("s.example", "User-agent: *\nCrawl-delay: 30\n"),
+        ("s.example", "User-agent: *\nDisallow: /\n"),
+    ]
+    assert _rules(spark, rows) == {"s.example": "deny"}
+
+
+def test_robots_rules_drive_pipeline(spark):
+    """End-to-end: parsed rules deny/sample pages through
+    apply_pipeline exactly like hand-written host rules."""
+    import numpy as np
+
+    from eugl_spark.corpus import _chain
+
+    rng = np.random.RandomState(3)
+    pages = spark.createDataFrame(
+        [
+            (
+                f"https://{h}/p/{i}",
+                None,
+                # generator-chain text: passes the full rule set, so
+                # the only drops below are the host policy's
+                " ".join(_chain("en", 60, rng)),
+                "en",
+            )
+            for h in ("denied.example", "open.example")
+            for i in range(4)
+        ],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    robots = spark.createDataFrame(
+        [("denied.example", "User-agent: *\nDisallow: /\n")],
+        "host string, body string",
+    )
+    out = apply_pipeline(
+        pages, host_rules=parse_robots_rules(robots), repartition_to=0
+    )
+    by_host = {
+        r["h"]: (r["kept"], set(r["reasons"]))
+        for r in out.groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("h")
+        )
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.collect_set("drop_reason").alias("reasons"),
+        )
+        .collect()
+    }
+    assert by_host["denied.example"][0] == 0
+    assert by_host["denied.example"][1] == {"host_deny"}
+    assert by_host["open.example"][0] == 4
+
+
+def test_parse_is_jvm_side(spark):
+    """No Python boundary in the rules plan (whole-stage regex)."""
+    df = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /\n")],
+        "host string, body string",
+    )
+    p = (
+        parse_robots_rules(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in p
