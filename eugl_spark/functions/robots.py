@@ -37,12 +37,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# the first User-agent: * group, up to the next group or end. (?is):
-# case-insensitive, dot-matches-newline for the body capture.
-_WILDCARD_GROUP_RE = r"(?is)user-agent:[ \t]*\*[ \t]*\r?\n(.*?)(?=user-agent:|$)"
-# within a group: (?im) line-anchored, case-insensitive
-_DENY_ALL_RE = r"(?im)^disallow:[ \t]*/[ \t]*\r?$"
-_CRAWL_DELAY_RE = r"(?im)^crawl-delay:[ \t]*([0-9]+)"
+# the first User-agent: * group, up to the next group or end-of-body.
+# LINE-ANCHORED on both the opener and the terminator lookahead
+# ((?m)^ + [ \t]* lead): an un-anchored 'user-agent:' matched inside a
+# comment tail, which both STARTED phantom groups (a '# … user-agent:
+# *' comment turned the next agent-specific Disallow into a site-wide
+# deny) and TERMINATED real ones (a mid-group comment mentioning
+# 'user-agent:' truncated a genuine deny) — caught by review repro.
+# Rule lines tolerate REP-legal leading whitespace and trailing
+# same-line '#' comments (RFC 9309 *WS grammar; Google's reference
+# parser accepts indented rules).
+_WILDCARD_GROUP_RE = (
+    r"(?ism)^[ \t]*user-agent:[ \t]*\*[ \t]*(?:#[^\n\r]*)?\r?\n"
+    r"(.*?)(?=^[ \t]*user-agent:|\Z)"
+)
+_DENY_ALL_RE = r"(?im)^[ \t]*disallow:[ \t]*/[ \t]*(?:#[^\n\r]*)?\r?$"
+_CRAWL_DELAY_RE = r"(?im)^[ \t]*crawl-delay:[ \t]*([0-9]+)"
 
 CRAWL_DELAY_SAMPLE_THRESHOLD = 10  # seconds; ≥ this → sampled host
 CRAWL_DELAY_SAMPLE_PCT = 10  # deterministic keep-percent applied

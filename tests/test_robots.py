@@ -134,3 +134,40 @@ def test_parse_is_jvm_side(spark):
         .toString()
     )
     assert "EvalPython" not in p
+
+
+def test_comment_tails_do_not_make_or_break_groups(spark):
+    """'user-agent:' inside a comment must neither START a phantom
+    wildcard group nor TERMINATE a real one (review repro)."""
+    rows = [
+        # comment mentions 'user-agent: *' but rules belong to Googlebot
+        ("phantom.example",
+         "User-agent: Googlebot\n"
+         "# the following applies to user-agent: *\n"
+         "Disallow: /\n"),
+        # real wildcard group with a mid-group comment naming user-agent:
+        ("truncated.example",
+         "User-agent: *\n"
+         "# note to user-agent: folks\n"
+         "Disallow: /\n"),
+    ]
+    got = _rules(spark, rows)
+    assert "phantom.example" not in got
+    assert got.get("truncated.example") == "deny"
+
+
+def test_indented_and_commented_rule_lines(spark):
+    """REP-legal leading whitespace and trailing same-line comments on
+    rule lines must still register (review repro: indented rules were
+    silently failing open)."""
+    rows = [
+        ("indent.example", "User-agent: *\n  Disallow: /\n"),
+        ("tailcomment.example", "User-agent: *\nDisallow: / # staging\n"),
+        ("delayindent.example", "User-agent: *\n\tCrawl-delay: 30\n"),
+        ("uacomment.example", "User-agent: * # all bots\nDisallow: /\n"),
+    ]
+    got = _rules(spark, rows)
+    assert got["indent.example"] == "deny"
+    assert got["tailcomment.example"] == "deny"
+    assert got["delayindent.example"] == "sample:10"
+    assert got["uacomment.example"] == "deny"
