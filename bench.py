@@ -335,8 +335,15 @@ def main_bench() -> None:
             .count()
         )
 
+    def _crawl_capstone_scaled():
+        from eugl_spark.plans.queries import crawl_corpus_from
+
+        pg = spark.read.parquet(link_scaled)
+        return crawl_corpus_from(pg, repartition_to=CPUS).count()
+
     jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
     jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))
+    jobs.append(("crawl_capstone_scaled", _crawl_capstone_scaled))
     jobs.append(
         (
             "corpus_build_train_sf03",

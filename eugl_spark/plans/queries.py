@@ -2853,23 +2853,33 @@ def _crawl_corpus_sql(path: str | None = None) -> str:
     "builder samples from.",
 )
 def crawl_build_corpus(spark, sf_dir):
-    """Composition shape: the snapshot collapse is the same map-side
+    return crawl_corpus_from(_link_pages(spark))
+
+
+def crawl_corpus_from(
+    pages: DataFrame, repartition_to: int = 0
+) -> DataFrame:
+    """(url, warc_ts, html, text, lang) crawl → per-doc (url, reason,
+    host, host_rank) — library surface of crawl_build_corpus.
+
+    Composition shape: the snapshot collapse is the same map-side
     max_by aggregation as dedup_url_latest (one candidate row per url
     per input split reaches the exchange — the fat html column
     shuffles once, pre-collapsed); the winners frame flows into
     apply_pipeline's stateless kernel at scan parallelism; the
-    PageRank frame is O(hosts) and joined by explicit broadcast."""
+    PageRank frame is O(hosts) and joined by explicit broadcast.
+    ``repartition_to`` passes through to apply_pipeline (0 = keep the
+    collapse's partitioning; the registry fixture is tiny)."""
     from eugl_spark.operators.graph import pagerank
     from eugl_spark.pipeline import apply_pipeline
 
-    pages = _link_pages(spark)
     winners = pages.groupBy("url").agg(
         F.max_by("html", "warc_ts").alias("html"),
         F.max_by("text", "warc_ts").alias("text"),
         F.max_by("lang", "warc_ts").alias("lang"),
         F.max("warc_ts").alias("warc_ts"),
     )
-    labeled = apply_pipeline(winners, repartition_to=0)
+    labeled = apply_pipeline(winners, repartition_to=repartition_to)
     edges = link_host_edges(pages).withColumnRenamed("n_links", "w")
     ranks = pagerank(edges, iters=3, damping=0.85)
     return (
