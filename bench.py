@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_span_coverage",
     "crawl_build_corpus",
     "crawl_host_quality",
+    "graph_components_hosts",
 ]
 
 

@@ -2898,6 +2898,74 @@ def crawl_corpus_from(
     )
 
 
+def _host_components_sql(path: str | None = None) -> str:
+    """Recursive-CTE oracle for host-graph connected components —
+    reach directly over host STRINGS (min over strings is the
+    representative rule), while the Spark side hashes hosts to int64
+    for the CC operator's decimal fixpoint probe and re-derives the
+    same min-host representative per component; the partition is
+    labeling-independent, so the two agree."""
+    return (
+        _link_edges_sql("count(*) AS n", path).replace(
+            "WITH pages", "WITH RECURSIVE pages", 1
+        )
+        + """
+    , sym AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION ALL
+      SELECT dst AS u, src AS v FROM edges
+    ), reach(id, r) AS (
+      SELECT DISTINCT u AS id, u AS r FROM sym
+      UNION
+      SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    ), lab AS (
+      SELECT id AS host, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT l.host, l.component, cs.component_size
+    FROM lab l JOIN (
+      SELECT component, CAST(count(*) AS BIGINT) AS component_size
+      FROM lab GROUP BY component) cs USING (component)
+    """
+    )
+
+
+@q(
+    "graph_components_hosts",
+    _host_components_sql(),
+    "Weakly-connected components of the crawl host graph (undirected "
+    "reachability over the edge list) with min-host representative "
+    "and component size — the link-island / isolated-community view "
+    "crawl curation uses alongside PageRank authority.",
+)
+def graph_components_hosts(spark, sf_dir):
+    """Hosts are hashed to int64 with THE shared recipe for the CC
+    operator (its fixpoint probe sums labels as decimal), then the
+    readable min-host representative is re-derived per component —
+    two O(hosts) aggregations after the O(diameter) superstep loop."""
+    edges = link_host_edges(_link_pages(spark))
+    pairs = edges.select(
+        _md5_int_col(F.col("src")).alias("doc_a"),
+        _md5_int_col(F.col("dst")).alias("doc_b"),
+    )
+    cc = _connected_components(pairs)
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("hid", _md5_int_col(F.col("host")))
+    )
+    lab = hosts.join(cc, hosts["hid"] == cc["doc_id"]).select(
+        "host", "cluster"
+    )
+    comp = lab.groupBy("cluster").agg(
+        F.min("host").alias("component"),
+        F.count("*").alias("component_size"),
+    )
+    return lab.join(comp, "cluster").select(
+        "host", "component", "component_size"
+    )
+
+
 def _host_quality_sql(path: str | None = None) -> str:
     """Per-host rollup of the capstone frame — the 'which hosts feed
     the corpus, and are their docs any good' dashboard."""
@@ -5117,6 +5185,10 @@ _SNAPSHOT_TAIL = [
     # drop-reason histogram evidence also lives in the capstone's
     # reason column. Driver-green r01–r03.
     "qf_drop_reason_dist",
+    # demoted with graph_components_hosts: the composite grade's
+    # evidence continues via qf_score_calibration (trained-score
+    # deciles) in-window. Driver-green r03.
+    "qf_quality_score",
     "orders_percentiles",
     "sigma_clip_iter2",
     "mode_priority_per_segment",

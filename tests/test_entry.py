@@ -86,6 +86,7 @@ FLAGSHIPS = [
     "dedup_span_coverage",
     "crawl_build_corpus",
     "crawl_host_quality",
+    "graph_components_hosts",
 ]
 
 

@@ -135,6 +135,7 @@ _BUILDERS = {
     "dedup_url_latest": Q._url_latest_sql,
     "crawl_build_corpus": Q._crawl_corpus_sql,
     "crawl_host_quality": Q._host_quality_sql,
+    "graph_components_hosts": Q._host_components_sql,
 }
 
 
