@@ -2918,7 +2918,7 @@ def _host_components_sql(path: str | None = None) -> str:
       SELECT DISTINCT u AS id, u AS r FROM sym
       UNION
       SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
-    ), lab AS (
+    ), lab AS MATERIALIZED (
       SELECT id AS host, min(r) AS component FROM reach GROUP BY id
     )
     SELECT l.host, l.component, cs.component_size
