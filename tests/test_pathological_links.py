@@ -181,3 +181,69 @@ def test_broken_utf8_html_spark_only(spark):
     assert {(r["src"], r["dst"]) for r in edges} == {
         ("bad.example", "ok-target.example")
     }
+
+
+def test_extraction_fuzz_cross_engine(spark, tmp_path):
+    """Seeded fuzz of the extraction contract: random anchor soup —
+    valid anchors, partial/truncated tags, nested quotes, stray
+    angle brackets, random schemes, unicode — must extract to the
+    SAME edge list and anchor-text aggregate in both engines (the
+    \\s-class / regex-dialect divergence trap that bit the token
+    family in an earlier round). Valid-UTF-8 only: the broken-byte
+    case is the documented Spark-only family above."""
+    import random
+
+    rng = random.Random(99)
+    frag_pool = [
+        '<a href="https://h{}.example/p/{}">t{}</a>',
+        "<a href='https://sq{}.example/p/{}'>s{}</a>",
+        '<a href="/rel/{}">r{}{}</a>',
+        '<a href="ftp://f{}.example/{}">f{}</a>',
+        '<a href="https://h{}.example/p/{}">',  # no closing text/tag
+        '<a href="https://h{}.example',  # truncated attr {} {}
+        'href="https://naked{}.example/{}"',  # href outside <a {}
+        '<a href="">e{}{}{}</a>',
+        '<a href="https://h{}.example/q?a=1&b={}">q{}</a>',
+        '< a href="https://sp{}.example/{}">sp{}</a>',  # space in tag
+        '<a href="https://uni{}.example/п{}">текст{}</a>',
+        "plain words {} and more {} text {}",
+        "\n\t {} <p>para{}</p> {}",
+        '"quoted {} string" {} <b>bold{}</b>',
+        '<a href="HTTPS://UP{}.example/{}">u{}</a>',
+    ]
+    rows = []
+    for i in range(120):
+        parts = [
+            frag_pool[rng.randrange(len(frag_pool))].format(
+                rng.randrange(20), rng.randrange(50), rng.randrange(9)
+            )
+            for _ in range(rng.randrange(1, 12))
+        ]
+        rng.shuffle(parts)
+        rows.append(
+            {
+                "url": f"https://src{rng.randrange(15)}.example/p/{i}",
+                "warc_ts": T0 + timedelta(minutes=i),
+                "html": " ".join(parts).encode("utf-8"),
+                "text": None,
+                "lang": "en",
+            }
+        )
+    p = str(tmp_path / "fuzz_links.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), p)
+
+    con = duckdb.connect()
+    for name in ("crawl_outlinks", "crawl_anchor_text"):
+        got = None
+        try:
+            import unittest.mock as _m
+
+            with _m.patch.object(
+                Q, "_link_pages", lambda s: s.read.parquet(p)
+            ):
+                got = REGISTRY[name].spark(spark, "").toPandas()
+        finally:
+            pass
+        want = con.sql(_BUILDERS[name](p)).df()
+        res = compare_frames(got, want)
+        assert res["values_match"], (name, res["diff"])

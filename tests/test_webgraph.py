@@ -237,3 +237,41 @@ def test_hits_zero_iterations_uniform(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert all(r["hub"] == r["authority"] == pytest.approx(1 / 3) for r in rows)
+
+
+def test_streaming_edges_equal_batch(spark, tmp_path):
+    """Incremental crawl ingestion: the edge list aggregated over an
+    AvailableNow stream (complete-mode stateful groupBy across
+    micro-batches) equals the batch link_host_edges over the same
+    files — the streaming twin of the ingestion step, carrying the
+    batch side's DuckDB-oracle evidence across."""
+    from eugl_spark.corpus import write_link_pages_parquet
+    from eugl_spark.plans.queries import link_host_edges
+    from eugl_spark.streaming.stream import PAGES_SCHEMA
+
+    drop = tmp_path / "linkdrops"
+    drop.mkdir()
+    # several files so the file source actually micro-batches
+    write_link_pages_parquet(str(drop / "d0.parquet"), n_rows=150, seed=21)
+    write_link_pages_parquet(str(drop / "d1.parquet"), n_rows=150, seed=22)
+    write_link_pages_parquet(str(drop / "d2.parquet"), n_rows=100, seed=23)
+
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(str(drop))
+    q = (
+        link_host_edges(src)
+        .writeStream.format("memory")
+        .queryName("edges_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in spark.sql("SELECT * FROM edges_stream").collect()
+    }
+    want = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in link_host_edges(spark.read.parquet(str(drop))).collect()
+    }
+    assert got == want and len(want) > 50
