@@ -206,10 +206,13 @@ def capstone_sf1_dir(mult: int = 10) -> str:
     return out_dir
 
 
-def link_scaled_path(n_rows: int) -> str:
+def link_scaled_path(n_rows: int, n_hosts: int = 2000) -> str:
     """Scaled link corpus for the web-graph bench jobs, cached by
-    generator-source hash (the registry fixture's recipe) + row count;
-    a different seed than the fixture so no cache aliasing."""
+    generator-source hash (the registry fixture's recipe) + row count
+    + host cardinality; a different seed than the fixture so no cache
+    aliasing. n_hosts=2000 (vs the fixture's 60) so the GRAPH scales
+    with the corpus — a 60-node rank frame would make the pagerank
+    bench measure only edge extraction."""
     import hashlib
     import inspect
     import tempfile
@@ -218,11 +221,14 @@ def link_scaled_path(n_rows: int) -> str:
 
     ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
     p = os.path.join(
-        tempfile.gettempdir(), f"eugl_link_scaled_{ver}_{n_rows}.parquet"
+        tempfile.gettempdir(),
+        f"eugl_link_scaled_{ver}_{n_rows}_h{n_hosts}.parquet",
     )
     if not os.path.exists(p):
         tmp = f"{p}.{os.getpid()}.tmp"
-        corpus.write_link_pages_parquet(tmp, n_rows=n_rows, seed=11)
+        corpus.write_link_pages_parquet(
+            tmp, n_rows=n_rows, seed=11, n_hosts=n_hosts
+        )
         os.replace(tmp, p)
         print(f"link_scaled: {n_rows} pages at {p}", file=sys.stderr)
     return p

@@ -263,12 +263,16 @@ _ANCHOR_TEXTS = [
 ]
 
 
-def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
+def generate_link_pages(
+    n_rows: int, seed: int = 7, n_hosts: int = LINK_N_HOSTS
+) -> pd.DataFrame:
     """Synthetic crawl pages whose html embeds anchor outlinks.
 
     Structure (all deterministic in (n_rows, seed)):
-      * hosts follow a Zipf law (authority skew — a few hosts receive
-        most links, the adversarial case for link analysis);
+      * hosts follow a Zipf law over ``n_hosts`` (authority skew — a
+        few hosts receive most links, the adversarial case for link
+        analysis); the oracle fixture keeps the 60-host default, the
+        scaled bench corpus raises it so the graph itself scales;
       * ~15% of rows are REVISITS of an earlier url at a strictly later
         warc_ts (no two snapshots of one url share a timestamp), for
         the keep-newest-snapshot dedup;
@@ -282,14 +286,14 @@ def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
         well-defined mode.
     """
     rng = np.random.RandomState(seed)
-    host_w = 1.0 / np.arange(1, LINK_N_HOSTS + 1)
+    host_w = 1.0 / np.arange(1, n_hosts + 1)
     host_w /= host_w.sum()
     at_w = 1.0 / np.arange(1, len(_ANCHOR_TEXTS) + 1)
     at_w /= at_w.sum()
     ext_w = 1.0 / np.arange(1, LINK_N_EXT_HOSTS + 1)
     ext_w /= ext_w.sum()
     n_pages = max(1, int(n_rows * 0.85))
-    page_host = rng.choice(LINK_N_HOSTS, size=n_pages, p=host_w)
+    page_host = rng.choice(n_hosts, size=n_pages, p=host_w)
     t0 = datetime(2024, 3, 1)
     rows = []
     for i in range(n_rows):
@@ -297,7 +301,7 @@ def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
         url = f"https://www.site{page_host[pid]}.example/p/{pid}"
         anchors = []
         for j in range(int(rng.randint(0, 9))):
-            th = int(rng.choice(LINK_N_HOSTS, p=host_w))
+            th = int(rng.choice(n_hosts, p=host_w))
             target = f"https://www.site{th}.example/p/{int(rng.randint(n_pages))}"
             atext = str(rng.choice(_ANCHOR_TEXTS, p=at_w))
             r = rng.rand()
@@ -340,12 +344,14 @@ def generate_link_pages(n_rows: int, seed: int = 7) -> pd.DataFrame:
     return df
 
 
-def write_link_pages_parquet(path: str, n_rows: int, seed: int = 7) -> str:
+def write_link_pages_parquet(
+    path: str, n_rows: int, seed: int = 7, n_hosts: int = LINK_N_HOSTS
+) -> str:
     """Write the link corpus as parquet (pyarrow; no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = generate_link_pages(n_rows, seed)
+    df = generate_link_pages(n_rows, seed, n_hosts)
     schema = pa.schema(
         [
             ("url", pa.string()),
