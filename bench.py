@@ -119,7 +119,13 @@ def warc_corpus_dir(sf: float) -> str:
     )
     if os.path.exists(out):
         return out
-    os.makedirs(f"{out}.tmp", exist_ok=True)
+    # pid-suffixed temp dir (the file fixtures' recipe): two
+    # concurrent bench processes racing past the exists() check must
+    # not collide on one shared tmp name — and os.replace of a
+    # DIRECTORY fails when the destination exists, so the loser of
+    # the publish race discards its copy instead (ADVICE r4)
+    tmp = f"{out}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
     words = ("the water of time is a question for the people and the "
              "day was good for all of them there in the house ").split()
     for f in range(n_files):
@@ -137,9 +143,16 @@ def warc_corpus_dir(sf: float) -> str:
                 ).encode()
                 + body
             )
-        with open(os.path.join(f"{out}.tmp", f"c{f:04d}.warc"), "wb") as fh:
+        with open(os.path.join(tmp, f"c{f:04d}.warc"), "wb") as fh:
             fh.write(b"\r\n\r\n".join(parts) + b"\r\n\r\n")
-    os.replace(f"{out}.tmp", out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.exists(out):  # lost the race → winner's copy
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -183,11 +183,27 @@ def connected_components_star(
     return _cc_output(labels)
 
 
+def _auto_round_dp(n_nodes: int, floor_dp: int = 10) -> int:
+    """Per-iteration rounding precision scaled to the graph size.
+
+    Scores are O(1/N) mass, so a FIXED dp quantizes large graphs:
+    at ~1e8 hosts rank0 = 1e-8 and dp=10 keeps ~2 significant digits
+    (tail contributions round to zero) while oracle parity still
+    holds — silent degradation (ADVICE r4). dp = 8 + digits(N) keeps
+    ≥ ~8 significant digits below the uniform score at any N; the
+    floor pins the ≤100-node oracle fixtures to the SQL twins'
+    hardcoded round(…, 10).
+    """
+    import math
+
+    return max(floor_dp, 8 + math.ceil(math.log10(max(n_nodes, 2))))
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
-    iter_round_dp: int = 10,
+    iter_round_dp: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an (src, dst, w) edge frame → (host, rank).
 
@@ -203,6 +219,9 @@ def pagerank(
       * each iteration rounds to ``iter_round_dp`` dp in BOTH engines,
         re-synchronizing float64 summation-order ulps before they can
         amplify across supersteps (the registry's sigma-clip recipe).
+        Default None → _auto_round_dp(N): precision scales with the
+        node count (the ≤100-node oracle fixtures resolve to the SQL
+        twins' pinned dp=10).
 
     Scale shape: the rank frame is O(hosts) — a host graph is orders
     of magnitude smaller than its edge list (~10^8 hosts vs ~10^11
@@ -226,6 +245,8 @@ def pagerank(
     n_nodes = nodes.count()  # scalar probe (teleport term needs N)
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    if iter_round_dp is None:
+        iter_round_dp = _auto_round_dp(n_nodes)
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
@@ -264,7 +285,7 @@ def pagerank(
 def hits(
     edges: DataFrame,
     iters: int = 3,
-    iter_round_dp: int = 10,
+    iter_round_dp: int | None = None,
 ) -> DataFrame:
     """Weighted HITS over an (src, dst, w) edge frame →
     (host, hub, authority).
@@ -285,7 +306,7 @@ def hits(
       * each normalized vector rounds to ``iter_round_dp`` dp in BOTH
         engines, re-synchronizing float64 summation-order ulps before
         they amplify across supersteps (the pagerank/sigma-clip
-        recipe).
+        recipe). Default None → _auto_round_dp(N), as in pagerank.
 
     Scale shape: identical to pagerank — O(hosts) score frames joined
     onto the edge list per half-step, partially-aggregated groupBy,
@@ -305,6 +326,8 @@ def hits(
         return nodes.select(
             "host", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
+    if iter_round_dp is None:
+        iter_round_dp = _auto_round_dp(n_nodes)
 
     def _half_step(scores: DataFrame, join_on: str, out_for: str) -> DataFrame:
         """One normalized half-update: scores on `join_on` endpoints

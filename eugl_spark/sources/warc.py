@@ -180,7 +180,21 @@ def _split_blob_exact(b: bytes) -> list[bytes]:
             # scan for this one record
             j = b.find(b"\r\nWARC/1.0\r\n", he)
             end = n if j < 0 else j + 2
-            recs.append(b[i:end].rstrip(b"\r\n"))
+            # Strip only ONE inter-record separator ('\r\n\r\n', or a
+            # truncated '\r\n'), never payload bytes — the unbounded
+            # rstrip over the \r\n class used to eat CR/LF bytes that
+            # are legitimately part of the payload (e.g. a text body
+            # ending in newlines) (ADVICE r4). end=j+2 is the start of
+            # the next 'WARC/1.0', so the slice retains the separator
+            # whole. (A record whose payload truly ends in '\r\n\r\n'
+            # followed by no/short separator is inherently ambiguous
+            # without Content-Length; the separator reading wins.)
+            r = b[i:end]
+            if r.endswith(b"\r\n\r\n"):
+                r = r[:-4]
+            elif r.endswith(b"\r\n"):
+                r = r[:-2]
+            recs.append(r)
             i = end
             continue
         end = min(he + 4 + int(m.group(1)), n)

@@ -171,3 +171,44 @@ def test_indented_and_commented_rule_lines(spark):
     assert got["tailcomment.example"] == "deny"
     assert got["delayindent.example"] == "sample:10"
     assert got["uacomment.example"] == "deny"
+
+
+def test_stacked_user_agent_lines_form_one_group(spark):
+    """RFC 9309 §2.2.1: consecutive User-agent lines stack onto ONE
+    rule block; a site-wide deny in a group opened by
+    '*' + 'Googlebot' (in either order) must apply to the wildcard —
+    the single-line opener used to terminate the group at the second
+    UA line and fail OPEN (ADVICE r4)."""
+    rows = [
+        (
+            "star-first.example",
+            "User-agent: *\nUser-agent: Googlebot\nDisallow: /\n",
+        ),
+        (
+            "star-last.example",
+            "User-agent: Googlebot\nUser-agent: *\nDisallow: /\n",
+        ),
+        # stacked run WITHOUT '*' is still not ours
+        (
+            "others-only.example",
+            "User-agent: A\nUser-agent: B\nDisallow: /\n",
+        ),
+        # a later stacked wildcard group after an agent-specific one
+        (
+            "second-group.example",
+            "User-agent: A\nDisallow: /\n\n"
+            "User-agent: B\nUser-agent: *\nCrawl-delay: 30\n",
+        ),
+        # FIRST wildcard group wins: its empty policy is not
+        # overridden by a later wildcard deny
+        (
+            "first-wins.example",
+            "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /\n",
+        ),
+    ]
+    got = _rules(spark, rows)
+    assert got == {
+        "star-first.example": "deny",
+        "star-last.example": "deny",
+        "second-group.example": "sample:10",
+    }

@@ -304,3 +304,32 @@ def test_split_exact_roundtrip_fuzz():
         assert got == records
 
     check()
+
+
+def test_split_exact_fallback_preserves_payload_newlines():
+    """No-Content-Length fallback: only the inter-record separator is
+    stripped; CR/LF bytes that are PART of the payload survive (the
+    old unbounded rstrip ate them — ADVICE r4)."""
+    from eugl_spark.sources.warc import _split_blob_exact
+
+    def rec(body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://nl.example/\r\n\r\n"
+        ) + body
+
+    # payload ends in a newline run; followed by another record
+    r1 = rec(b"line one\r\nline two\r\n")
+    r2 = rec(b"tail")
+    got = _split_blob_exact(r1 + b"\r\n\r\n" + r2 + b"\r\n\r\n")
+    assert got == [r1, r2]
+
+    # last record, full terminator
+    got = _split_blob_exact(rec(b"x\r\n") + b"\r\n\r\n")
+    assert got == [rec(b"x\r\n")]
+    # last record, truncated terminator (payload not CRLF-terminated)
+    got = _split_blob_exact(rec(b"x") + b"\r\n")
+    assert got == [rec(b"x")]
+    # last record, no terminator at all
+    got = _split_blob_exact(rec(b"x\r\n"))
+    assert got == [rec(b"x")]  # documented ambiguity: separator wins

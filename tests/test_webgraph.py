@@ -275,3 +275,17 @@ def test_streaming_edges_equal_batch(spark, tmp_path):
         for r in link_host_edges(spark.read.parquet(str(drop))).collect()
     }
     assert got == want and len(want) > 50
+
+
+def test_auto_round_dp_scales_with_graph_size():
+    """ADVICE r4: a fixed per-superstep dp=10 quantizes 1e8-host
+    graphs (rank0=1e-8) to ~2 significant digits. The default now
+    scales with N while the ≤100-node oracle fixtures keep dp=10."""
+    from eugl_spark.operators.graph import _auto_round_dp
+
+    assert _auto_round_dp(2) == 10
+    assert _auto_round_dp(60) == 10  # the oracle fixture
+    assert _auto_round_dp(100) == 10
+    assert _auto_round_dp(101) == 11
+    assert _auto_round_dp(2000) == 12
+    assert _auto_round_dp(10**8) == 16  # ~8 sig digits below 1e-8
