@@ -156,6 +156,36 @@ def warc_corpus_dir(sf: float) -> str:
     return out
 
 
+def warc_gz_corpus_dir(sf: float) -> str:
+    """Per-record-gzip-member twin of warc_corpus_dir (the framing
+    real Common Crawl actually ships): same record content, each
+    record its own gzip member, one .warc.gz per plain file."""
+    import gzip
+
+    src = warc_corpus_dir(sf)
+    out = f"{src}_gz"
+    if os.path.exists(out):
+        return out
+    from eugl_spark.sources.warc import _split_blob_exact
+
+    tmp = f"{out}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for name in os.listdir(src):
+        with open(os.path.join(src, name), "rb") as fh:
+            recs = _split_blob_exact(fh.read())
+        with open(os.path.join(tmp, name + ".gz"), "wb") as fh:
+            fh.write(b"".join(gzip.compress(r + b"\r\n\r\n") for r in recs))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.exists(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def capstone_sf1_dir(mult: int = 10) -> str:
     """A 10×-scale documents table for the capstone bench (cached).
 
@@ -321,8 +351,23 @@ def main_bench() -> None:
 
         return _ingest(split_warc_records_exact)
 
+    # compressed-path twin: same records as per-record gzip members —
+    # the framing real Common Crawl ships (.warc.gz/.wet.gz)
+    warc_gz_dir = warc_gz_corpus_dir(sf)
+
+    def _ingest_gzip():
+        from eugl_spark.sources.pages import read_raw_drops
+        from eugl_spark.sources.warc import (
+            parse_crawl_records,
+            split_warc_records_exact,
+        )
+
+        raw = read_raw_drops(spark, warc_gz_dir, "*.warc.gz")
+        return parse_crawl_records(split_warc_records_exact(raw)).count()
+
     jobs.append(("warc_ingest_native", _ingest_native))
     jobs.append(("warc_ingest_exact", _ingest_exact))
+    jobs.append(("warc_ingest_gzip", _ingest_gzip))
 
     # web-graph ops over an sf-SCALED link corpus (the registry
     # entries are pinned to the 1.2k-row oracle fixture; these time

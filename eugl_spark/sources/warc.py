@@ -120,9 +120,23 @@ def parse_crawl_records(raw: DataFrame, content_col: str = "content") -> DataFra
 _REC_BOUNDARY = r"(?m)(?=^WARC/1\.0\r\n)"
 
 
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def _is_gzip_col(content_col: str):
+    """Magic-byte probe, JVM-side (binary substring compare)."""
+    return F.substring(F.col(content_col), 1, 2) == F.lit(_GZ_MAGIC)
+
+
 def split_warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
     """Native fast path: split the file blob on line-anchored
     'WARC/1.0' boundaries (zero-width lookahead, JVM-side, parallel).
+
+    Compressed blobs (real Common Crawl ships ``.warc.gz`` /
+    ``.wet.gz`` with per-record gzip members) are detected by magic
+    bytes and routed through the exact splitter's gzip-member path;
+    the union keeps the uncompressed majority fully JVM-side while
+    compressed files still flow through the same call site.
 
     CAVEAT (documented, tested): a payload that itself contains
     'WARC/1.0\\r\\n' at start-of-line mis-splits here — regex
@@ -130,12 +144,19 @@ def split_warc_records(raw: DataFrame, content_col: str = "content") -> DataFram
     split_warc_records_exact when records may embed WARC framing
     (e.g. archived pages ABOUT the WARC format); the two paths agree
     on every well-behaved file."""
+    gz = _is_gzip_col(content_col)
     rec = F.decode(F.col(content_col), "UTF-8")
     parts = F.split(rec, _REC_BOUNDARY)
-    return (
-        raw.select(F.explode(parts).alias("_rec"))
+    native = (
+        # ~coalesce(gz, False): null blobs take the native branch,
+        # where explode-of-null yields no rows (the original contract)
+        raw.filter(~F.coalesce(gz, F.lit(False)))
+        .select(F.explode(parts).alias("_rec"))
         .filter(F.col("_rec") != "")
         .select(F.encode(F.col("_rec"), "UTF-8").alias("content"))
+    )
+    return native.unionAll(
+        split_warc_records_exact(raw.filter(gz), content_col)
     )
 
 
@@ -205,13 +226,72 @@ def _split_blob_exact(b: bytes) -> list[bytes]:
     return recs
 
 
+def _gzip_member_payloads(b: bytes) -> list[bytes]:
+    """Decompress a multi-member gzip stream member by member (stdlib
+    zlib, wbits=31 = gzip framing only).
+
+    Real ``.warc.gz`` / ``.wet.gz`` files are a CONCATENATION of gzip
+    members, one WARC record per member, precisely so a reader can
+    split work at member boundaries. Fault isolation mirrors the
+    uncompressed splitter's resync contract: a corrupt member is
+    dropped and scanning resumes at the next plausible member header
+    (magic ``\\x1f\\x8b`` + deflate method byte ``\\x08``); a
+    TRUNCATED final member keeps whatever decompressed (the
+    Content-Length splitter downstream already handles cut-off
+    records). A corrupt file yields its parseable members, never an
+    ingest abort."""
+    import zlib
+
+    out: list[bytes] = []
+    i, n = 0, len(b)
+    while i < n:
+        if not b.startswith(_GZ_MAGIC, i):
+            j = b.find(_GZ_MAGIC + b"\x08", i + 1)
+            if j < 0:
+                break
+            i = j
+            continue
+        d = zlib.decompressobj(wbits=31)
+        try:
+            payload = d.decompress(b[i:])
+        except zlib.error:
+            # mid-member corruption: the one-shot call discards any
+            # partial output (per-member fault isolation) — resync
+            j = b.find(_GZ_MAGIC + b"\x08", i + 1)
+            if j < 0:
+                break
+            i = j
+            continue
+        if payload:
+            out.append(payload)
+        if not d.eof:  # truncated final member — salvage and stop
+            break
+        consumed = (n - i) - len(d.unused_data)
+        i += max(consumed, 1)
+    return out
+
+
+def _split_blob_auto(b: bytes) -> list[bytes]:
+    """Magic-byte dispatch: gzip blobs split into members first, then
+    every member's bytes run through the Content-Length splitter (a
+    spec-conform member holds ONE record, but a whole-file-gzip — also
+    seen in the wild — holds many; both land here correctly)."""
+    if b[:2] == _GZ_MAGIC:
+        recs: list[bytes] = []
+        for payload in _gzip_member_payloads(b):
+            recs.extend(_split_blob_exact(payload))
+        return recs
+    return _split_blob_exact(b)
+
+
 def split_warc_records_exact(
     raw: DataFrame, content_col: str = "content"
 ) -> DataFrame:
-    """Spec-exact record split via per-file Content-Length parsing
-    (Arrow-batched mapInPandas — per-file sequential by necessity;
-    parallelism comes from the many-files axis, which is how crawl
-    dumps actually ship)."""
+    """Spec-exact record split via per-file Content-Length parsing,
+    transparently handling gzipped inputs (``.warc.gz`` per-record
+    members — see _gzip_member_payloads). Arrow-batched mapInPandas —
+    per-file sequential by necessity; parallelism comes from the
+    many-files axis, which is how crawl dumps actually ship."""
     import pandas as pd
 
     sub = raw.select(F.col(content_col).alias("content"))
@@ -222,7 +302,7 @@ def split_warc_records_exact(
             for blob in pdf["content"]:
                 if blob is None:
                     continue
-                out.extend(_split_blob_exact(bytes(blob)))
+                out.extend(_split_blob_auto(bytes(blob)))
             yield pd.DataFrame({"content": pd.Series(out, dtype=object)})
 
     return sub.mapInPandas(gen, "content binary")

@@ -333,3 +333,143 @@ def test_split_exact_fallback_preserves_payload_newlines():
     # last record, no terminator at all
     got = _split_blob_exact(rec(b"x\r\n"))
     assert got == [rec(b"x")]  # documented ambiguity: separator wins
+
+
+def _gz_member(rec: bytes) -> bytes:
+    import gzip
+
+    return gzip.compress(rec)
+
+
+def test_gzip_member_roundtrip_fuzz():
+    """The framing fuzz re-run over gzip-member files (VERDICT r4
+    'Next round' #1): for ANY payload bytes, a .warc.gz built as one
+    gzip member per Content-Length-framed record splits back into
+    exactly those records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eugl_spark.sources.warc import _split_blob_auto
+
+    payload_st = st.binary(min_size=0, max_size=200)
+
+    def rec(url_i: int, payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://gz.example/{url_i}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"Content-Type: text/plain\r\n\r\n"
+        ).encode() + payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(payloads=st.lists(payload_st, min_size=1, max_size=6))
+    def check(payloads):
+        records = [rec(i, p) for i, p in enumerate(payloads)]
+        blob = b"".join(_gz_member(r + b"\r\n\r\n") for r in records)
+        assert _split_blob_auto(blob) == records
+
+    check()
+
+
+def test_gzip_whole_file_and_uncompressed_agree():
+    """A whole-file gzip (one member, many records — also seen in the
+    wild) and the uncompressed blob split identically."""
+    import gzip
+
+    from eugl_spark.sources.warc import _split_blob_auto
+
+    recs = []
+    for i in range(5):
+        body = f"payload {i}\r\nwith lines\r\n".encode()
+        recs.append(
+            (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: https://w.example/{i}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            + body
+        )
+    blob = b"\r\n\r\n".join(recs) + b"\r\n\r\n"
+    assert _split_blob_auto(blob) == recs
+    assert _split_blob_auto(gzip.compress(blob)) == recs
+
+
+def test_gzip_corrupt_member_resyncs():
+    """A corrupt middle member is dropped; the members before and
+    after it still yield their records (per-member fault isolation —
+    the uncompressed splitter's resync contract)."""
+    from eugl_spark.sources.warc import _split_blob_auto
+
+    def rec(i: int) -> bytes:
+        body = f"body {i}".encode()
+        return (
+            f"WARC/1.0\r\nWARC-Target-URI: https://c.example/{i}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    members = [_gz_member(rec(i) + b"\r\n\r\n") for i in range(3)]
+    # corrupt the middle member's deflate stream (past the 10-byte
+    # header so the member is still ENTERED, then fails mid-stream)
+    bad = bytearray(members[1])
+    for k in range(12, min(len(bad) - 9, 40)):
+        bad[k] ^= 0xFF
+    blob = members[0] + bytes(bad) + members[2]
+    got = _split_blob_auto(blob)
+    assert rec(0) in got and rec(2) in got
+    assert rec(1) not in got
+
+    # truncated FINAL member: earlier members survive
+    blob2 = members[0] + members[1][: len(members[1]) // 2]
+    got2 = _split_blob_auto(blob2)
+    assert got2[0] == rec(0)
+
+
+def test_gzip_end_to_end_through_pipeline(spark, tmp_path):
+    """A .warc.gz drop flows through read_raw_drops →
+    split_warc_records (native front auto-routes compressed blobs) →
+    parse_crawl_records → apply_pipeline to verdicts; and the exact
+    splitter agrees record-for-record."""
+    import gzip
+
+    from eugl_spark.pipeline import apply_pipeline
+    from eugl_spark.sources.pages import read_raw_drops
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records,
+        split_warc_records_exact,
+    )
+
+    words = ("the of and to in is was he for it with as his on be "
+             "at by had").split()
+    recs = []
+    for i in range(30):
+        body = (" ".join(words[(i + k) % len(words)] for k in range(120))).encode()
+        recs.append(
+            (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: https://gz{i % 5}.example/p/{i}\r\n"
+                f"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            + body
+        )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # one per-record-member gz file + one uncompressed file (mixed
+    # drop: the native front must route each blob correctly)
+    (drop / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r + b"\r\n\r\n") for r in recs[:20])
+    )
+    (drop / "b.warc").write_bytes(b"\r\n\r\n".join(recs[20:]) + b"\r\n\r\n")
+
+    raw = read_raw_drops(spark, str(drop), "*.warc*")
+    pages = parse_crawl_records(split_warc_records(raw))
+    assert pages.count() == 30
+    exact = parse_crawl_records(split_warc_records_exact(raw))
+    assert sorted(r["url"] for r in exact.collect()) == sorted(
+        r["url"] for r in pages.collect()
+    )
+    out = apply_pipeline(pages, repartition_to=0)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r["text_extracted"] for r in rows)
