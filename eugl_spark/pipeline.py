@@ -22,13 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eugl_spark import constants as C
+from eugl_spark.functions.hosts import host_of
 from eugl_spark.models.doc_kernel import qa_kernel_udf
 
 
 def host(url: Column) -> Column:
-    # try_parse_url: Common-Crawl urls include malformed ones; ANSI
-    # parse_url would fail the whole job on the first bad row.
-    return F.try_parse_url(url, F.lit("HOST"))
+    # THE shared host derivation (functions/hosts.py): one expression
+    # for the pipeline's bucketing/host-rules AND the web-graph
+    # family, so a crawl row keys to the same host in every stage.
+    # (Regex, not try_parse_url: the SQL oracles must mirror it
+    # verbatim, and a regex never ANSI-fails on malformed urls.)
+    return host_of(url)
 
 
 def salted_bucket(url: Column) -> Column:

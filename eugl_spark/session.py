@@ -90,6 +90,16 @@ def get_spark(
         # (html binary) — 32MB splits keep every core fed even from a
         # handful of input files
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # openCostInBytes stays at its 4MB default DELIBERATELY
+        # (measured, r5): it floors split size at
+        # max(openCost, totalBytes/parallelism), so a 34MB corpus
+        # scans 9-wide on 32 cores — and on this shared host that is
+        # FASTER than 17- or 32-wide (2.43s vs 2.90/4.53s for the
+        # same kernel job): the string-heavy kernel saturates the
+        # memory bus past ~9 concurrent workers (BASELINE.md's
+        # independent-JVM evidence). On a real cluster each executor
+        # brings its own memory bus and totalBytes/parallelism
+        # dominates the floor, so the default is right there too.
         # iterative operators (connected components, k-means, GD)
         # reliably checkpoint each superstep when a checkpoint dir is
         # configured; without this flag Spark never deletes those
