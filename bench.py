@@ -69,6 +69,8 @@ HEADLINE = [
     "crawl_build_corpus",
     "crawl_host_quality",
     "graph_components_hosts",
+    "bpe_train_merges",
+    "bpe_apply_token_stats",
 ]
 
 

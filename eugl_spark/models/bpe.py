@@ -1,0 +1,182 @@
+"""Distilled BPE merge training + application, DataFrame-native.
+
+``text_bpe_token_stats`` counts with the GPT-2 *pre-tokenizer* only,
+so LLM token budgets were approximated by pre-token counts (VERDICT
+r4 missing #6). This module makes the cost model real: a merge table
+is TRAINED as DataFrame supersteps over the pre-tokenized corpus
+(the qf_train_linear superstep recipe — O(model) driver state, all
+counting distributed), and applied as a chain of native ``replace``
+calls — no Python in the apply path.
+
+Representation (the cross-engine trick): a word is its symbols joined
+by a DOUBLED separator and padded at both ends —
+
+    "the" → ``␟␟t␟␟h␟␟e␟␟``
+
+so merge rule (l, r) is the plain string replacement
+
+    ``␟l␟␟r␟`` → ``␟lr␟``
+
+Each boundary contributes one separator char to the match and keeps
+one outside it, which makes non-overlapping left-to-right
+``replace`` — identical semantics in Catalyst and DuckDB — apply the
+rule exactly like classic greedy BPE: ``␟␟a␟␟a␟␟a␟␟`` + (a,a) →
+``␟␟aa␟␟a␟␟``, and after a replacement the shared boundary is intact
+so an immediately following occurrence still matches. No lookaround,
+so the DuckDB oracle can mirror the training term-for-term
+(plans/queries.py builds the unrolled K-step SQL twin).
+
+Separators are the PRINTABLE Unicode control pictures ␟ (U+241F,
+symbol for unit separator) and ␞ (U+241E, record separator for
+intra-document token boundaries) — embeddable verbatim in SQL string
+literals in both engines; pre-tokens containing either are excluded
+from training and counting in both engines (a documented, measured-
+zero-in-practice exclusion).
+
+Scale shape: training state is the distinct-pre-token frame —
+O(vocabulary), collapsing further every merge — checkpointed per
+superstep; the per-step top-pair probe is a 1-row driver scalar
+(same class as the k-means centroid refresh and CC fixpoint probes).
+Application is a per-doc chain of K native replaces at scan
+parallelism: zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eugl_spark.operators.checkpoint import checkpoint_df
+
+SEP = "␟"  # ␟ symbol boundary (doubled between symbols)
+BOUND = "␞"  # ␞ pre-token boundary inside a concatenated doc
+
+
+def symbolize(tok: Column) -> Column:
+    """pre-token → padded symbol string (``ab`` → ``␟␟a␟␟b␟␟``)."""
+    return F.concat(
+        F.lit(SEP + SEP),
+        F.regexp_replace(tok, r"(?s)(.)", "$1" + SEP + SEP),
+    )
+
+
+def merge_pattern(left: str, right: str) -> tuple[str, str]:
+    """(l, r) → (search, replacement) for the doubled-separator form."""
+    return (
+        SEP + left + SEP + SEP + right + SEP,
+        SEP + left + right + SEP,
+    )
+
+
+def _clean_tokens(text: Column) -> Column:
+    """text → array of pre-tokens, separator-bearing tokens excluded
+    (same filter in the SQL twin)."""
+    from eugl_spark.plans.queries import _BPE_RE
+
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0)),
+        lambda t: ~t.contains(SEP) & ~t.contains(BOUND),
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Train the top-``k`` BPE merges over ``docs[text_col]``.
+
+    Returns [(left, right, pair_count), ...] in merge order. Each
+    superstep: adjacent-pair counts over the word frame (map-side
+    partial agg; cardinality = distinct pairs, not corpus tokens) →
+    1-row top-pair probe (ties broken (count DESC, l ASC, r ASC) —
+    byte order, identical in both engines) → one native replace over
+    the word frame → checkpoint.
+    """
+    words = checkpoint_df(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_clean_tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .select(symbolize(F.col("t")).alias("w"), "cnt")
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        top = (
+            words.select(
+                F.expr(
+                    f"filter(split(w, '{SEP}{SEP}'), x -> x <> '')"
+                ).alias("s"),
+                "cnt",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1),"
+                        " (x, i) -> struct(x AS l,"
+                        " element_at(s, i + 2) AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((l, r, c))
+        search, repl = merge_pattern(l, r)
+        words = checkpoint_df(
+            words.withColumn(
+                "w", F.replace(F.col("w"), F.lit(search), F.lit(repl))
+            )
+        )
+    return merges
+
+
+def apply_bpe_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_pre, n_merged) token counts.
+
+    ``n_pre`` = pre-tokenizer count; ``n_merged`` = symbol count
+    after applying the merge list in order — the real LLM-budget
+    number. One concatenated symbol string per doc (pre-token
+    boundaries guarded by ␞, which no trained rule can cross), K
+    chained native replaces, then a numeric separator count:
+    symbols = ␟-chars/2 − 1, minus the (n_pre − 1) guards."""
+    toks = _clean_tokens(F.col(text_col))
+    # per-token "a␟␟b␟␟" fragments joined with the ␞ guard, padded
+    sym = F.concat(
+        F.lit(SEP + SEP),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.regexp_replace(
+                    t, r"(?s)(.)", "$1" + SEP + SEP
+                ),
+            ),
+            BOUND + SEP + SEP,
+        ),
+    )
+    merged = sym
+    for l, r, _ in merges:
+        search, repl = merge_pattern(l, r)
+        merged = F.replace(merged, F.lit(search), F.lit(repl))
+    n_pre = F.size(toks).cast("long")
+    n_sep = F.length(merged) - F.length(
+        F.replace(merged, F.lit(SEP), F.lit(""))
+    )
+    n_merged = F.when(n_pre == 0, F.lit(0).cast("long")).otherwise(
+        (n_sep / 2 - 1).cast("long") - (n_pre - 1)
+    )
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_pre.alias("n_pre"),
+        n_merged.alias("n_merged"),
+    )

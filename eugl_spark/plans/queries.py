@@ -4367,6 +4367,140 @@ def text_bpe_token_stats(spark, sf_dir):
     )
 
 
+# --- trained BPE (models/bpe.py holds the representation contract) ---
+# The oracle twins UNROLL the K training supersteps as chained CTEs
+# (the qf_train_linear unrolled-oracle recipe): per step, adjacent-
+# pair counts over the word frame → deterministic top pair (count
+# DESC, l, r — byte order in both engines) → one plain replace.
+# Every step CTE is MATERIALIZED (doubly-referenced chained CTEs
+# inline exponentially in DuckDB — the HITS lesson).
+_BPE_K = 6
+_BPE_S = "␟"
+_BPE_B = "␞"
+
+
+def _bpe_words_sql(src: str = "documents") -> str:
+    s, b = _BPE_S, _BPE_B
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT t FROM (
+        SELECT unnest(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS t
+        FROM {src} WHERE text IS NOT NULL)
+      WHERE NOT contains(t, '{s}') AND NOT contains(t, '{b}')
+    ), words0 AS MATERIALIZED (
+      SELECT '{s}{s}' || regexp_replace(t, '(.)', '\\1{s}{s}', 'gs') AS w,
+             count(*) AS cnt
+      FROM toks GROUP BY t
+    )"""
+
+
+def _bpe_step_sql(i: int) -> str:
+    """One training superstep: pair counts → top-1 → replace."""
+    s = _BPE_S
+    # empty-pair-frame guard: the sentinel '␟␟␟' cannot occur in a
+    # symbol string (separators are exactly doubled, symbols never
+    # contain ␟), so replace() is the identity when m{i} is empty
+    search = (
+        f"coalesce('{s}' || (SELECT l FROM m{i}) || '{s}{s}' || "
+        f"(SELECT r FROM m{i}) || '{s}', '{s}{s}{s}')"
+    )
+    repl = f"coalesce('{s}' || (SELECT l || r FROM m{i}) || '{s}', '')"
+    return f"""
+    , p{i} AS MATERIALIZED (
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                 j -> struct_pack(l := s[j], r := s[j+1]))) AS pr, cnt
+        FROM (SELECT list_filter(string_split(w, '{s}{s}'),
+                       x -> x <> '') AS s, cnt
+              FROM words{i - 1})
+      ) GROUP BY pr.l, pr.r
+    ), m{i} AS MATERIALIZED (
+      SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ), words{i} AS MATERIALIZED (
+      SELECT replace(w, {search}, {repl}) AS w, cnt FROM words{i - 1}
+    )"""
+
+
+def _bpe_train_sql(src: str = "documents", k: int = _BPE_K) -> str:
+    steps = "".join(_bpe_step_sql(i) for i in range(1, k + 1))
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, l, r, c AS freq FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"{_bpe_words_sql(src)}{steps}\n    {union}"
+
+
+def _bpe_apply_sql(src: str = "documents", k: int = _BPE_K) -> str:
+    s, b = _BPE_S, _BPE_B
+    steps = "".join(_bpe_step_sql(i) for i in range(1, k + 1))
+    merged = "sym"
+    for i in range(1, k + 1):
+        search = (
+            f"coalesce('{s}' || (SELECT l FROM m{i}) || '{s}{s}' || "
+            f"(SELECT r FROM m{i}) || '{s}', '{s}{s}{s}')"
+        )
+        repl = f"coalesce('{s}' || (SELECT l || r FROM m{i}) || '{s}', '')"
+        merged = f"replace({merged}, {search}, {repl})"
+    return f"""{_bpe_words_sql(src)}{steps}
+    , docsym AS (
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_pre,
+        '{s}{s}' || array_to_string(
+          list_transform(l, t -> regexp_replace(t, '(.)', '\\1{s}{s}', 'gs')),
+          '{b}{s}{s}') AS sym
+      FROM (
+        SELECT doc_id,
+          list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+            t -> NOT contains(t, '{s}') AND NOT contains(t, '{b}')) AS l
+        FROM {src} WHERE text IS NOT NULL)
+    )
+    SELECT doc_id, n_pre,
+      CASE WHEN n_pre = 0 THEN 0 ELSE
+        (length(m) - length(replace(m, '{s}', ''))) // 2 - 1 - (n_pre - 1)
+      END AS n_merged
+    FROM (SELECT doc_id, n_pre, {merged} AS m FROM docsym)
+    """
+
+
+@q(
+    "bpe_train_merges",
+    _bpe_train_sql(),
+    "Trained BPE: the top-K pair merges learned from the corpus's "
+    "pre-tokenized word frame as DataFrame supersteps — the merge "
+    "table a real tokenizer ships, making LLM token budgets a "
+    "trained cost model instead of a pre-token approximation.",
+)
+def bpe_train_merges(spark, sf_dir):
+    """Scale shape: see models/bpe.py — O(vocabulary) word frame
+    checkpointed per superstep, pair counts partial-agg map-side,
+    1-row top-pair driver probe per step."""
+    from eugl_spark.models.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, k=_BPE_K)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, l string, r string, freq long"
+    )
+
+
+@q(
+    "bpe_apply_token_stats",
+    _bpe_apply_sql(),
+    "Apply the trained BPE merge table: per-doc pre-token count vs "
+    "post-merge token count — the corpus token-budget numbers an LLM "
+    "data pipeline actually bills against.",
+)
+def bpe_apply_token_stats(spark, sf_dir):
+    """Training is the superstep loop; application is a chain of K
+    native replace calls at scan parallelism — zero Python, zero
+    shuffles in the apply path."""
+    from eugl_spark.models.bpe import apply_bpe_counts, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, k=_BPE_K)
+    return apply_bpe_counts(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end bucketed ANN: the candidate-then-verify pattern of the
 # reference's gverify chip matching (coarse grid → correlate,
@@ -5190,14 +5324,25 @@ def build_training_corpus(
 # ---------------------------------------------------------------------------
 
 _SNAPSHOT_TAIL = [
-    # four long-stable events ops (driver-green r01–r03) demoted in
-    # round 4 to keep the first-50 window closed over every family
-    # flagship after dedup_paragraphs / qf_repetition_profile /
-    # dsir_importance / decontaminate_bloom joined the registry
-    "events_json_extract",
+    # Round-5 rotation (VERDICT r4 missing #3): 2-3 window slots
+    # rotate to tail ops each round so driver evidence accretes over
+    # the whole registry. This round events_json_extract and
+    # events_transition_matrix RE-ENTER the window (stalest driver
+    # evidence, r3) alongside the two new BPE queries; four
+    # family-redundant stable ops take their tail slots below.
     "events_spatial_bins",
-    "events_transition_matrix",
     "events_hourly_agg",
+    # round-5 demotions (driver-green r04; each family keeps multiple
+    # flagships in-window): qf_token_stats (C-suite evidence continues
+    # via text_bpe_token_stats + the local-gate scalar suite),
+    # dedup_ngram_jaccard / dedup_simhash (dedup keeps exact, minhash,
+    # url_latest, span_coverage, paragraphs and all three cluster
+    # capstones in-window), ann_lsh_buckets (ANN keeps bruteforce,
+    # lsh_pairs, ivf_topk, kmeans_cells/topk)
+    "qf_token_stats",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_lsh_buckets",
     # embedding_stats / tpch_q1 demoted with qf_ppl_buckets' and
     # qf_score_calibration's registrations (same bookkeeping: window
     # must stay exactly the first 50; q3/q5 keep the join flagships)

@@ -342,3 +342,94 @@ def test_ppl_buckets_null_lang_parity(spark, tmp_path):
     assert res["values_match"], res["diff"]
     assert len(pdf) == 20  # nothing dropped
     assert pdf["lang"].isna().sum() == 7  # null-lang group survived
+
+
+def test_bpe_training_matches_classic_reference(spark):
+    """The DataFrame superstep trainer must learn the same merge
+    sequence as a classic driver-side BPE (count adjacent pairs over
+    the word frame, merge the most frequent, ties (count, l, r)) —
+    and the native apply path must count exactly the symbols the
+    reference produces."""
+    from collections import Counter
+
+    from eugl_spark.models.bpe import (
+        apply_bpe_counts,
+        train_bpe_merges,
+    )
+    from eugl_spark.plans.queries import _BPE_RE
+    import re
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat and that cat",
+        "a hathat thathat the the the",
+        None,
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    K = 5
+
+    # classic reference implementation
+    pre = re.compile(_BPE_RE)
+    words = Counter()
+    for t in texts:
+        if t:
+            for tok in pre.findall(t):
+                words[tuple(tok)] += 1
+    ref_merges = []
+    for _ in range(K):
+        pairs = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref_merges.append((l, r, c))
+        nxt = Counter()
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += cnt
+        words = nxt
+
+    got = train_bpe_merges(docs, k=K)
+    assert got == ref_merges
+
+    # apply: per-doc merged symbol counts vs the reference tokenizer
+    def ref_count(t):
+        n = 0
+        for tok in pre.findall(t):
+            syms = list(tok)
+            for l, r, _ in ref_merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n += len(syms)
+        return n
+
+    rows = {
+        r["doc_id"]: r for r in apply_bpe_counts(docs, got).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert i not in rows
+            continue
+        assert rows[i]["n_pre"] == len(pre.findall(t))
+        assert rows[i]["n_merged"] == ref_count(t), (i, t)
