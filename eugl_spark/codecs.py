@@ -900,8 +900,9 @@ def sniff_decode(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders above.
 
     Raises NotImplementedError for formats that genuinely need
-    external libraries (JPEG/Opus/AV1/...), ValueError for corrupt
-    payloads of a recognized format.
+    external libraries (Opus/AV1/progressive-JPEG — a PERMANENT,
+    documented boundary, see COVERAGE.md "Closed boundaries"),
+    ValueError for corrupt payloads of a recognized format.
     """
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
