@@ -364,3 +364,87 @@ def write_link_pages_parquet(
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
     pq.write_table(table, path, row_group_size=8192)
     return path
+
+
+# ---------------------------------------------------------------------------
+# WARC record-blob corpus: one raw record's bytes per row, for the
+# cross-engine ingestion-parse fixture (crawl_ingest_parse). The blobs
+# are deliberately ALL-ASCII so the DuckDB twin's decode() can read
+# them (its decode hard-errors on invalid UTF-8 — the documented
+# engine-vs-oracle boundary; non-UTF-8 resilience is pinned by the
+# Spark-only pytest probes instead).
+# ---------------------------------------------------------------------------
+
+_WARC_WORDS = (
+    "the water of time is a question for the people and the day was "
+    "good for all of them there in the house by the sea"
+).split()
+
+
+def generate_warc_blobs(n_rows: int, seed: int = 3) -> pd.DataFrame:
+    """Deterministic mix of parse cases, cycling: WARC response,
+    WET conversion, warcinfo (dropped), missing-URI with body-spoofed
+    header (dropped), empty-URI value (dropped), damaged date (kept,
+    null ts), request (dropped)."""
+    rng = np.random.RandomState(seed)
+    blobs: list[bytes] = []
+    for i in range(n_rows):
+        words = " ".join(
+            _WARC_WORDS[(i + k + int(rng.randint(0, 3))) % len(_WARC_WORDS)]
+            for k in range(40 + (i % 30))
+        )
+        case = i % 7
+        url = f"https://w{i % 17}.example/p/{i}"
+        date = f"2024-03-{(i % 27) + 1:02d}T{(i % 24):02d}:00:00Z"
+        if case == 0:
+            body = f"<html><body><p>{words}</p></body></html>"
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"Content-Type: text/html\r\n\r\n{body}"
+            )
+        elif case == 1:
+            b = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"Content-Type: text/plain\r\n\r\n{words}"
+            )
+        elif case == 2:
+            b = "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\nsoftware: x"
+        elif case == 3:
+            # no URI header; body tries to smuggle one in
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Date: {date}\r\n\r\n"
+                f"WARC-Target-URI: http://evil.example/\r\n{words}"
+            )
+        elif case == 4:
+            b = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: \r\nWARC-Date: {date}\r\n\r\n{words}"
+            )
+        elif case == 5:
+            b = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: not-a-real-date\r\n\r\n{words}"
+            )
+        else:
+            b = (
+                f"WARC/1.0\r\nWARC-Type: request\r\n"
+                f"WARC-Target-URI: {url}\r\n\r\nGET /p HTTP/1.1"
+            )
+        blobs.append(b.encode("ascii"))
+    return pd.DataFrame({"content": blobs})
+
+
+def write_warc_blobs_parquet(path: str, n_rows: int, seed: int = 3) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_warc_blobs(n_rows, seed)
+    table = pa.Table.from_pandas(
+        df, schema=pa.schema([("content", pa.binary())]), preserve_index=False
+    )
+    pq.write_table(table, path, row_group_size=4096)
+    return path

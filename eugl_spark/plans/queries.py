@@ -5312,6 +5312,101 @@ def build_training_corpus(
     return _budget_filter(nt)
 
 
+# --- cross-engine WARC ingestion parse ------------------------------------
+
+
+def _warc_blobs_path() -> str:
+    return _entry_corpus_path("eugl_warc_blobs")
+
+
+def ensure_warc_blobs() -> str:
+    """Materialize the deterministic record-blob fixture (atomic
+    replace + generator-versioned path, the ensure_entry_corpus
+    recipe)."""
+    import os
+
+    from eugl_spark.corpus import write_warc_blobs_parquet
+
+    path = _warc_blobs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_warc_blobs_parquet(tmp, n_rows=700, seed=3)
+        os.replace(tmp, path)
+    return path
+
+
+def _warc_parse_sql() -> str:
+    """DuckDB twin of the parse_crawl_records header-extraction chain
+    (sources/warc.py::_record_fields): REUSES the module's regex
+    constants verbatim, so the spoof-proof header-block contract is
+    one definition across engines. Timestamps compare as epoch
+    seconds (absolute instants — no session-timezone rendering in
+    either engine); damaged dates are null in both (try_to_timestamp
+    / try_strptime)."""
+    from eugl_spark.sources.warc import (
+        _BODY_RE,
+        _DATE_RE,
+        _HEAD_RE,
+        _TYPE_RE,
+        _URI_RE,
+    )
+
+    return f"""
+    WITH rec AS (
+      SELECT decode(content) AS r
+      FROM read_parquet('{ensure_warc_blobs()}')
+    ), h AS (
+      SELECT regexp_extract(r, '{_HEAD_RE}', 1) AS head,
+             regexp_extract(r, '{_BODY_RE}', 1) AS body
+      FROM rec
+    ), p AS (
+      SELECT nullif(regexp_extract(head, '{_URI_RE}', 1), '') AS url,
+        lower(regexp_extract(head, '{_TYPE_RE}', 1)) AS rtype,
+        regexp_extract(head, '{_DATE_RE}', 1) AS ds,
+        body
+      FROM h
+    )
+    SELECT url,
+      CAST(epoch(try_strptime(ds, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT)
+        AS ts_epoch,
+      CASE WHEN rtype = 'response' THEN 'html' ELSE 'text' END AS kind,
+      CAST(length(body) AS BIGINT) AS n_chars
+    FROM p
+    WHERE url IS NOT NULL AND rtype IN ('response', 'conversion')
+    """
+
+
+@q(
+    "crawl_ingest_parse",
+    _warc_parse_sql(),
+    "WARC/WET record parsing as a cross-engine contract: header-block "
+    "field extraction (spoof-proof — payloads cannot override "
+    "headers), WARC-Type dispatch, null-URI drop, ANSI-safe damaged "
+    "dates. The S1/S9 ingestion chain, driver-gate-checkable.",
+)
+def crawl_ingest_parse(spark, sf_dir):
+    """All-native plan: binary scan → one decode → regexp_extract
+    chain (whole-stage codegen; the mapInPandas SPLITTERS feeding
+    this in production are pytest-evidenced — this query pins the
+    parse semantics both engines share)."""
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    raw = spark.read.parquet(ensure_warc_blobs())
+    pages = parse_crawl_records(raw)
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+        F.when(F.col("html").isNotNull(), "html")
+        .otherwise("text")
+        .alias("kind"),
+        F.length(
+            F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"))
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
@@ -5343,6 +5438,10 @@ _SNAPSHOT_TAIL = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_lsh_buckets",
+    # registered round 5 straight to the tail (local-gate evidence;
+    # S1/S9 already carry pytest + bench coverage — a future rotation
+    # can promote it)
+    "crawl_ingest_parse",
     # embedding_stats / tpch_q1 demoted with qf_ppl_buckets' and
     # qf_score_calibration's registrations (same bookkeeping: window
     # must stay exactly the first 50; q3/q5 keep the join flagships)
