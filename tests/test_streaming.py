@@ -265,3 +265,79 @@ def test_streaming_equals_oracle_gated_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want) > 0
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["reason"].tolist() == want["reason"].tolist()
+
+
+def test_stream_warc_drops_incremental_and_batch_parity(spark, tmp_path):
+    """stream_warc_drops drains raw .warc/.warc.gz drops through the
+    FULL ingestion+pipeline chain: (1) output rows equal the batch
+    chain on the same files, (2) a second run after a new drop
+    processes ONLY the new file (checkpointed offsets)."""
+    import gzip
+
+    from eugl_spark.pipeline import apply_pipeline
+    from eugl_spark.sources.pages import read_raw_drops
+    from eugl_spark.sources.warc import (
+        parse_crawl_records,
+        split_warc_records_exact,
+    )
+    from eugl_spark.streaming.stream import stream_warc_drops
+
+    words = ("the of and to in is was he for it with as his on be "
+             "at by had").split()
+
+    def rec(i: int) -> bytes:
+        body = " ".join(
+            words[(i + k) % len(words)] for k in range(110)
+        ).encode()
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://sw{i % 3}.example/p/{i}\r\n"
+            f"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.warc").write_bytes(
+        b"\r\n\r\n".join(rec(i) for i in range(8)) + b"\r\n\r\n"
+    )
+    (drop / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(rec(i) + b"\r\n\r\n") for i in range(8, 14))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_warc_drops(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 14
+
+    batch = apply_pipeline(
+        parse_crawl_records(
+            split_warc_records_exact(
+                read_raw_drops(spark, str(drop), "*.warc*")
+            )
+        ),
+        repartition_to=0,
+    )
+    b = {
+        r["url"]: (r["keep"], r["drop_reason"], r["scrubbed_text"])
+        for r in batch.collect()
+    }
+    s = {
+        r["url"]: (r["keep"], r["drop_reason"], r["scrubbed_text"])
+        for r in got.collect()
+    }
+    assert s == b
+
+    # incremental: a new drop file → only its records are appended
+    (drop / "c.warc").write_bytes(
+        b"\r\n\r\n".join(rec(i) for i in range(14, 19)) + b"\r\n\r\n"
+    )
+    q2 = stream_warc_drops(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 19
+    new_urls = {
+        r["url"] for r in got2.collect()
+    } - set(s)
+    assert new_urls == {f"https://sw{i % 3}.example/p/{i}" for i in range(14, 19)}
