@@ -120,6 +120,10 @@ def _pack_luts() -> list[np.ndarray]:
 _LUT_PACKS = _pack_luts()
 if C.MAX_CHARS + 2 >= 1 << 16:  # lane-overflow guard (see _pack_luts)
     raise ValueError("MAX_CHARS too large for 16-bit langid lanes")
+# premultiplied charmaps for the trigram code (saves two full-buffer
+# vector multiplies per batch)
+_CM2 = _CHARMAP * (_ALPHA * _ALPHA)
+_CM1 = _CHARMAP * _ALPHA
 
 RESULT_TYPE = T.StructType(
     [
@@ -276,11 +280,14 @@ def _model_stage(tok_strs: list[str]) -> dict[str, np.ndarray]:
     )
 
     # word spans: maximal non-space runs (docs are space-delimited and
-    # space-padded, so runs never cross documents)
+    # space-padded, so runs never cross documents). The buffer starts
+    # and ends with spaces, so letter/space transitions strictly
+    # ALTERNATE start,end,start,end… — ONE transition scan + even/odd
+    # split replaces the two per-direction flatnonzero passes
     is_letter = buf != 32
-    edge = np.diff(is_letter.astype(np.int8))
-    w_starts = np.flatnonzero(edge == 1) + 1
-    w_ends = np.flatnonzero(edge == -1) + 1
+    trans = np.flatnonzero(is_letter[1:] != is_letter[:-1]) + 1
+    w_starts = trans[0::2]
+    w_ends = trans[1::2]
     w_len = w_ends - w_starts
     doc_starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lens[:-1], out=doc_starts[1:])
@@ -309,11 +316,9 @@ def _model_stage(tok_strs: list[str]) -> dict[str, np.ndarray]:
     gid = np.where(in_vocab, _VOCAB_GIDS[pos_c], -1)
 
     # langid (see models/langid.py for the trigram-LUT design notes)
-    codes3 = (
-        _CHARMAP[buf[:-2]] * (_ALPHA * _ALPHA)
-        + _CHARMAP[buf[1:-1]] * _ALPHA
-        + _CHARMAP[buf[2:]]
-    )
+    # premultiplied charmaps (_CM2/_CM1): three gathers + two adds,
+    # no vector multiplies
+    codes3 = _CM2[buf[:-2]] + _CM1[buf[1:-1]] + _CHARMAP[buf[2:]]
     starts = doc_starts  # same cumsum-of-lens boundaries as the word pass
     n_grams = np.maximum(lens - 2, 0)
     counts = np.empty((len(C.LANGS), n_docs), dtype=np.int64)
