@@ -217,6 +217,11 @@ _DOC_QUERIES = [
     "qf_quality_score",
     "qf_train_linear",
     "pipeline_docs_verdict",
+    # round-5 additions: trained BPE over the hard corpus (emoji /
+    # mixed-script / control-char / 10 MB docs exercise the doubled-
+    # separator encoding and the separator-exclusion filter)
+    "bpe_train_merges",
+    "bpe_apply_token_stats",
 ]
 
 
@@ -240,6 +245,11 @@ _MODEL_ORACLE_QUERIES = {
     # scrub-at-scale byte identity is pinned by the PIPELINE
     # pathological test (Python oracle, full 10 MB doc)
     "qf_scrub",
+    # the BPE oracles symbolize every doc with a per-char global
+    # regexp_replace — linear, but DuckDB pays ~minutes on the 10 MB
+    # doc; every hard CASE survives on the 100 KB twin
+    "bpe_train_merges",
+    "bpe_apply_token_stats",
 }
 _DOC_TEXTS_SMALL = [
     (i, t if (t is None or len(t) <= 100_000) else t[:100_000])
