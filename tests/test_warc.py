@@ -462,9 +462,15 @@ def test_gzip_end_to_end_through_pipeline(spark, tmp_path):
     )
     (drop / "b.warc").write_bytes(b"\r\n\r\n".join(recs[20:]) + b"\r\n\r\n")
 
-    raw = read_raw_drops(spark, str(drop), "*.warc*")
-    pages = parse_crawl_records(split_warc_records(raw))
+    # mixed drop through the one-call front: glob routing at the file
+    # listing (plain -> native, .gz -> exact member path), one read
+    # per file
+    from eugl_spark.sources.warc import read_warc_drops
+
+    pages = parse_crawl_records(read_warc_drops(spark, str(drop)))
     assert pages.count() == 30
+    # the magic-dispatching exact splitter agrees on the same files
+    raw = read_raw_drops(spark, str(drop), "*.warc*")
     exact = parse_crawl_records(split_warc_records_exact(raw))
     assert sorted(r["url"] for r in exact.collect()) == sorted(
         r["url"] for r in pages.collect()
