@@ -372,9 +372,42 @@ def main_bench() -> None:
         raw = read_raw_drops(spark, warc_gz_dir, "*.warc.gz")
         return parse_crawl_records(split_warc_records_exact(raw)).count()
 
+    # mixed-drop front: plain + gz shards in one directory through
+    # read_warc_drops (glob routing at the listing — one read/file)
+    mixed_dir = os.path.join(
+        tempfile.gettempdir(), f"eugl_warc_mixed_{os.path.basename(warc_dir)}"
+    )
+    if not os.path.exists(mixed_dir):
+        import shutil
+
+        tmpm = f"{mixed_dir}.{os.getpid()}.tmp"
+        os.makedirs(tmpm, exist_ok=True)
+        plain_files = sorted(os.listdir(warc_dir))
+        for f in plain_files[: len(plain_files) // 2]:
+            shutil.copy(os.path.join(warc_dir, f), tmpm)
+        for f in sorted(os.listdir(warc_gz_dir))[len(plain_files) // 2 :]:
+            shutil.copy(os.path.join(warc_gz_dir, f), tmpm)
+        try:
+            os.replace(tmpm, mixed_dir)
+        except OSError:
+            if not os.path.exists(mixed_dir):
+                raise
+            shutil.rmtree(tmpm, ignore_errors=True)
+
+    def _ingest_mixed():
+        from eugl_spark.sources.warc import (
+            parse_crawl_records,
+            read_warc_drops,
+        )
+
+        return parse_crawl_records(
+            read_warc_drops(spark, mixed_dir)
+        ).count()
+
     jobs.append(("warc_ingest_native", _ingest_native))
     jobs.append(("warc_ingest_exact", _ingest_exact))
     jobs.append(("warc_ingest_gzip", _ingest_gzip))
+    jobs.append(("warc_ingest_mixed", _ingest_mixed))
 
     # web-graph ops over an sf-SCALED link corpus (the registry
     # entries are pinned to the 1.2k-row oracle fixture; these time
