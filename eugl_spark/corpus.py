@@ -385,7 +385,10 @@ def generate_warc_blobs(n_rows: int, seed: int = 3) -> pd.DataFrame:
     """Deterministic mix of parse cases, cycling: WARC response,
     WET conversion, warcinfo (dropped), missing-URI with body-spoofed
     header (dropped), empty-URI value (dropped), damaged date (kept,
-    null ts), request (dropped)."""
+    null ts), request (dropped), HTTP-enveloped 200 response (kept,
+    envelope stripped, status surfaced), enveloped 404 (dropped —
+    non-2xx), WARC-Truncated enveloped response (kept, flagged),
+    still-chunked enveloped response (kept, flagged)."""
     rng = np.random.RandomState(seed)
     blobs: list[bytes] = []
     for i in range(n_rows):
@@ -393,7 +396,7 @@ def generate_warc_blobs(n_rows: int, seed: int = 3) -> pd.DataFrame:
             _WARC_WORDS[(i + k + int(rng.randint(0, 3))) % len(_WARC_WORDS)]
             for k in range(40 + (i % 30))
         )
-        case = i % 7
+        case = i % 11
         url = f"https://w{i % 17}.example/p/{i}"
         date = f"2024-03-{(i % 27) + 1:02d}T{(i % 24):02d}:00:00Z"
         if case == 0:
@@ -429,10 +432,49 @@ def generate_warc_blobs(n_rows: int, seed: int = 3) -> pd.DataFrame:
                 f"WARC-Target-URI: {url}\r\n"
                 f"WARC-Date: not-a-real-date\r\n\r\n{words}"
             )
-        else:
+        elif case == 6:
             b = (
                 f"WARC/1.0\r\nWARC-Type: request\r\n"
                 f"WARC-Target-URI: {url}\r\n\r\nGET /p HTTP/1.1"
+            )
+        elif case == 7:
+            # the REAL Common-Crawl response shape: HTTP envelope
+            # (status line + headers + blank line) ahead of the entity
+            html = f"<html><body><p>{words}</p></body></html>"
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n\r\n"
+                f"HTTP/1.1 200 OK\r\nServer: httpd/2.{i % 5}\r\n"
+                f"Content-Type: text/html; charset=UTF-8\r\n"
+                f"Content-Length: {len(html)}\r\n\r\n{html}"
+            )
+        elif case == 8:
+            # non-2xx envelope: dropped by parse (no corpus payload)
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n\r\n"
+                f"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+                f"\r\n<html><body>not found: {words[:40]}</body></html>"
+            )
+        elif case == 9:
+            # WARC-Truncated record: kept with partial entity, flagged
+            html = f"<html><body><p>{words}"
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"WARC-Truncated: length\r\n\r\n"
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{html}"
+            )
+        else:
+            # Transfer-Encoding: chunked entity that reached the
+            # native parse un-repaired: kept raw, flagged 'chunked'
+            chunk = f"<p>{words[:60]}</p>"
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n\r\n"
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n"
+                f"{len(chunk):x}\r\n{chunk}\r\n0\r\n\r\n"
             )
         blobs.append(b.encode("ascii"))
     return pd.DataFrame({"content": blobs})

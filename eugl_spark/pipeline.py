@@ -119,14 +119,30 @@ def apply_pipeline(
     sampled_out = sample_rate.isNotNull() & (
         F.pmod(F.xxhash64(F.col("url")), F.lit(100)) >= sample_rate
     )
-    # rows already condemned by host policy skip the QA kernel — the
-    # job's most expensive stage — entirely: a Zipf-head host being
-    # down-weighted can be a double-digit share of the crawl, and its
-    # verdict is decided by the first two when() branches below. The
-    # kernel sees (null, null) and returns its no-content struct, so
-    # condemned rows carry null qa metrics (documented trade-off).
+    # ingest-damage gate: when the parse layer surfaced an ingest_flag
+    # column (parse_crawl_records: 'truncated' = WARC-Truncated
+    # record, 'chunked' = still-chunk-framed HTTP entity the exact
+    # splitter couldn't repair), flagged rows are condemned instead of
+    # extracted — a chunk-framed or cut-off payload is garbage to
+    # every text metric. Inputs without the column (parquet fixtures,
+    # pre-extracted corpora) take the null literal: zero behavior
+    # change. Callers who WANT truncated partial text can null the
+    # flag before apply_pipeline (documented policy knob).
+    iflag = (
+        F.col("ingest_flag")
+        if "ingest_flag" in pages.columns
+        else F.lit(None).cast("string")
+    )
+    # rows already condemned by host policy or ingest damage skip the
+    # QA kernel — the job's most expensive stage — entirely: a
+    # Zipf-head host being down-weighted can be a double-digit share
+    # of the crawl, and its verdict is decided by the first when()
+    # branches below. The kernel sees (null, null) and returns its
+    # no-content struct, so condemned rows carry null qa metrics
+    # (documented trade-off).
     condemned = F.coalesce(
-        (F.col("_host_action") == "deny") | sampled_out, F.lit(False)
+        (F.col("_host_action") == "deny") | sampled_out | iflag.isNotNull(),
+        F.lit(False),
     )
     # html crosses the boundary only for rows that need extraction
     text_in = F.when(~condemned, F.col("text"))
@@ -138,6 +154,7 @@ def apply_pipeline(
     drop_reason = (
         F.when(F.col("_host_action") == "deny", "host_deny")
         .when(sampled_out, "host_sampled")
+        .when(iflag.isNotNull(), F.concat(F.lit("ingest_"), iflag))
         .when(te.isNull() | (te == ""), "no_content")
         .when(k.getField("n_chars") < C.MIN_CHARS, "too_short")
         .when(k.getField("n_chars") > C.MAX_CHARS, "too_long")

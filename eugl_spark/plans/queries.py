@@ -5351,6 +5351,12 @@ def _warc_parse_sql() -> str:
         _URI_RE,
     )
 
+    from eugl_spark.sources.warc import (
+        _HTTP_STATUS_RE,
+        _TE_CHUNKED_RE,
+        _WARC_TRUNC_RE,
+    )
+
     return f"""
     WITH rec AS (
       SELECT decode(content) AS r
@@ -5363,16 +5369,36 @@ def _warc_parse_sql() -> str:
       SELECT nullif(regexp_extract(head, '{_URI_RE}', 1), '') AS url,
         lower(regexp_extract(head, '{_TYPE_RE}', 1)) AS rtype,
         regexp_extract(head, '{_DATE_RE}', 1) AS ds,
-        body
+        head, body
       FROM h
+    ), e AS (
+      SELECT url, rtype, ds, head, body,
+        CASE WHEN rtype = 'response' THEN
+          TRY_CAST(regexp_extract(body, '{_HTTP_STATUS_RE}', 1) AS INTEGER)
+        END AS http_status
+      FROM p
+    ), f AS (
+      SELECT url, rtype, ds, http_status,
+        CASE WHEN http_status IS NOT NULL
+             THEN regexp_extract(body, '{_BODY_RE}', 1) ELSE body
+        END AS body,
+        CASE
+          WHEN regexp_matches(head, '{_WARC_TRUNC_RE}') THEN 'truncated'
+          WHEN http_status IS NOT NULL AND regexp_matches(
+            regexp_extract(body, '{_HEAD_RE}', 1), '{_TE_CHUNKED_RE}')
+            THEN 'chunked'
+        END AS ingest_flag
+      FROM e
     )
     SELECT url,
       CAST(epoch(try_strptime(ds, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT)
         AS ts_epoch,
       CASE WHEN rtype = 'response' THEN 'html' ELSE 'text' END AS kind,
-      CAST(length(body) AS BIGINT) AS n_chars
-    FROM p
+      CAST(length(body) AS BIGINT) AS n_chars,
+      http_status, ingest_flag
+    FROM f
     WHERE url IS NOT NULL AND rtype IN ('response', 'conversion')
+      AND (http_status IS NULL OR http_status BETWEEN 200 AND 299)
     """
 
 
@@ -5381,14 +5407,18 @@ def _warc_parse_sql() -> str:
     _warc_parse_sql(),
     "WARC/WET record parsing as a cross-engine contract: header-block "
     "field extraction (spoof-proof — payloads cannot override "
-    "headers), WARC-Type dispatch, null-URI drop, ANSI-safe damaged "
-    "dates. The S1/S9 ingestion chain, driver-gate-checkable.",
+    "headers), WARC-Type dispatch, HTTP response-envelope stripping "
+    "(status line + headers split off the entity, status surfaced, "
+    "non-2xx dropped), truncation/chunked damage flags, null-URI "
+    "drop, ANSI-safe damaged dates. The S1/S9 ingestion chain, "
+    "driver-gate-checkable.",
 )
 def crawl_ingest_parse(spark, sf_dir):
     """All-native plan: binary scan → one decode → regexp_extract
     chain (whole-stage codegen; the mapInPandas SPLITTERS feeding
     this in production are pytest-evidenced — this query pins the
-    parse semantics both engines share)."""
+    parse semantics both engines share, including the envelope
+    strip: n_chars counts ENTITY chars, never HTTP header bytes)."""
     from eugl_spark.sources.warc import parse_crawl_records
 
     raw = spark.read.parquet(ensure_warc_blobs())
@@ -5404,6 +5434,8 @@ def crawl_ingest_parse(spark, sf_dir):
         )
         .cast("long")
         .alias("n_chars"),
+        "http_status",
+        "ingest_flag",
     )
 
 
