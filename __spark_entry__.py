@@ -63,13 +63,17 @@ def oracle_sql() -> dict[str, str]:
         REGISTRY,
         ensure_entry_corpus,
         ensure_link_corpus,
+        ensure_robots_corpus,
+        ensure_warc_blobs,
     )
 
-    # the end-to-end corpus and web-graph oracles read deterministic
-    # fixture files; materialize them here too in case the driver runs
-    # SQL before Spark
+    # the end-to-end corpus, web-graph, WARC and robots oracles read
+    # deterministic fixture files; materialize them here too in case
+    # the driver runs SQL before Spark
     ensure_entry_corpus()
     ensure_link_corpus()
+    ensure_warc_blobs()
+    ensure_robots_corpus()
     return {
         name: qry.sql for name, qry in REGISTRY.items() if qry.sql is not None
     }

@@ -490,3 +490,92 @@ def write_warc_blobs_parquet(path: str, n_rows: int, seed: int = 3) -> str:
     )
     pq.write_table(table, path, row_group_size=4096)
     return path
+
+
+# ---------------------------------------------------------------------------
+# robots.txt corpus: (host, body) robots snapshots + a url frame over
+# the same hosts, for the cross-engine path-rule fixtures
+# (crawl_robots_paths / crawl_robots_verdict). Bodies cycle through
+# the parse contract's hard cases — nested allow/disallow, stacked UA
+# groups, comments/indentation/CRLF, wildcard rules that must be
+# skipped or prefix-stripped, agent-specific-only groups — so the
+# DuckDB twin (an INDEPENDENT line-window reimplementation, not a
+# regex mirror: RE2 has no lookahead) re-derives the same rules.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODIES = [
+    # 0: plain nested disallow/allow
+    "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+    # 1: agent-specific only -> no wildcard rules (fail open)
+    "User-agent: OtherBot\nDisallow: /\n",
+    # 2: trailing-* stripped; mid-* and $ rules skipped
+    "User-agent: *\nDisallow: /tmp*\nDisallow: /a/*/b\nDisallow: /x$\n"
+    "Allow: /tmp/pub*\n",
+    # 3: stacked UA run + CRLF + comments + indentation
+    "User-agent: Googlebot\r\nUser-agent: * # all\r\n"
+    "  Disallow: /secret/ # staging\r\n\tAllow: /secret/ok\r\n",
+    # 4: three-level nesting (most-specific-match exercise)
+    "User-agent: *\nDisallow: /p/\nAllow: /p/pub/\nDisallow: /p/pub/x/\n",
+    # 5: duplicate prefix conflict -> allow wins
+    "User-agent: *\nDisallow: /dup/\nAllow: /dup/\n",
+    # 6: empty Disallow + crawl-delay only -> no path rules
+    "User-agent: *\nDisallow:\nCrawl-delay: 30\n",
+    # 7: wildcard group AFTER an agent-specific one; 'Disallow: /*'
+    # normalizes to '/'
+    "User-agent: A\nDisallow: /za/\n\nUser-agent: *\nDisallow: /*\n"
+    "Allow: /open/\n",
+]
+
+_ROBOTS_PATHS = [
+    "/private/a", "/private/pub/b", "/private/pub/secret/c",
+    "/tmp5", "/tmp/pub/d", "/a/q/b", "/x", "/secret/hid",
+    "/secret/ok2", "/p/one", "/p/pub/two", "/p/pub/x/three",
+    "/dup/z", "/open/ok", "/za/deep", "", "/search?q=x", "/frag#top",
+]
+
+
+def generate_robots_corpus(
+    n_hosts: int = 40, n_urls: int = 600, seed: int = 11
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    rng = np.random.RandomState(seed)
+    hosts = [f"r{i}.example" for i in range(n_hosts)]
+    rb_rows = []
+    for i, h in enumerate(hosts):
+        if i % 9 == 8:
+            continue  # host with no robots snapshot at all (fail open)
+        rb_rows.append((h, _ROBOTS_BODIES[i % len(_ROBOTS_BODIES)]))
+    robots = pd.DataFrame(rb_rows, columns=["host", "body"])
+    urls = []
+    for j in range(n_urls):
+        h = hosts[int(rng.randint(0, n_hosts))]
+        p = _ROBOTS_PATHS[int(rng.randint(0, len(_ROBOTS_PATHS)))]
+        urls.append(f"https://{h}{p}")
+    # a few malformed urls: null host -> fail open in both engines
+    urls.extend(["not a url", "ftp://r0.example/private/a"])
+    return robots, pd.DataFrame({"url": sorted(set(urls))})
+
+
+def write_robots_parquet(
+    robots_path: str, urls_path: str, n_hosts: int = 40,
+    n_urls: int = 600, seed: int = 11,
+) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    robots, urls = generate_robots_corpus(n_hosts, n_urls, seed)
+    pq.write_table(
+        pa.Table.from_pandas(
+            robots,
+            schema=pa.schema([("host", pa.string()), ("body", pa.string())]),
+            preserve_index=False,
+        ),
+        robots_path,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            urls,
+            schema=pa.schema([("url", pa.string())]),
+            preserve_index=False,
+        ),
+        urls_path,
+    )

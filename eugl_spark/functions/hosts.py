@@ -34,9 +34,23 @@ from pyspark.sql import functions as F
 
 HOST_RE = r"(?i)^https?://(?:[^/?#]*@)?([^/:?#@]+)"
 
+# The companion PATH derivation (robots path-rule matching): skip the
+# scheme+authority, capture from the first '/' up to (not including)
+# '?' query or '#' fragment. Same Java/RE2-portable grammar class as
+# HOST_RE. A url with no path component yields '' — callers normalize
+# to '/' (RFC 9309 treats the empty path as the root).
+PATH_RE = r"(?i)^https?://[^/?#]*(/[^?#]*)"
+
 
 def host_of(url: Column | str) -> Column:
     """url → host Column (null when no http(s) host parses — malformed
     urls must key as null, not '', so downstream joins/groupBys treat
     them as absent)."""
     return F.nullif(F.regexp_extract(url, HOST_RE, 1), F.lit(""))
+
+
+def path_of(url: Column | str) -> Column:
+    """url → path Column ('' normalized to '/'; query/fragment
+    excluded — the robots matching scope)."""
+    p = F.regexp_extract(url, PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)

@@ -21,7 +21,10 @@ the pipeline's policy dim only speaks deny/sample):
   end-of-body;
 * ``Disallow: /`` (entire site, optionally with trailing whitespace)
   in that group → action ``deny`` — path-scoped disallows do NOT deny
-  the host (path filtering is a url-level concern, not a host rule);
+  the host (path filtering is a url-level concern: those rules are
+  parsed by ``parse_robots_path_rules`` below into the
+  (host, prefix, allow) dim ``apply_pipeline(path_rules=...)`` gates
+  on per-url);
 * ``Crawl-delay: N`` with N ≥ CRAWL_DELAY_SAMPLE_THRESHOLD in that
   group → action ``sample:{CRAWL_DELAY_SAMPLE_PCT}`` (a politeness
   throttle re-expressed as the pipeline's deterministic keep-percent;
@@ -39,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eugl_spark.functions.hosts import path_of
 
 # A group = a RUN of consecutive User-agent lines followed by its rule
 # block, up to the next group or end-of-body (RFC 9309 §2.2.1: several
@@ -103,3 +108,104 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.min("action").alias("action"))  # 'deny' < 'sample:…'
     )
+
+
+# --- path-scoped rules (RFC 9309 §2.2.2) -----------------------------
+# `Disallow: /p` / `Allow: /p` rows within the wildcard group; the
+# host-level parser above deliberately ignores these (a path disallow
+# must not deny the whole host). Longest-prefix-wins with allow
+# breaking ties (RFC 9309 §2.2.2 "most specific match"); matching is
+# against the url's PATH (empty path ≡ '/', per the RFC's
+# normalization). Simplifications, documented like the host parser's:
+# literal prefixes only — a single TRAILING '*' is dropped (it is
+# prefix-equivalent), rules still containing '*' or '$' after that are
+# skipped (fail OPEN, the module's failure direction); query strings
+# are not matched. Output is O(rules) rows — broadcastable at any
+# corpus scale — consumed by apply_pipeline(path_rules=...).
+_PATH_RULE_LINE_RE = (
+    r"(?im)^[ \t]*(?:allow|disallow):[ \t]*/[^ \t\r\n#]*"
+)
+
+
+def parse_robots_path_rules(robots: DataFrame) -> DataFrame:
+    """(host, body) robots.txt frame → (host, prefix, allow) rules.
+
+    One row per (host, path prefix) that the wildcard group scopes;
+    conflicting duplicate prefixes collapse to allow (RFC tie rule).
+    Hosts with no wildcard group or no path rules emit nothing —
+    absent hosts fail OPEN, like parse_robots_rules."""
+    grps = F.regexp_extract_all("body", F.lit(_GROUP_RE), F.lit(0))
+    grp = F.get(F.filter(grps, lambda g: g.rlike(_UA_STAR_LINE_RE)), F.lit(0))
+    lines = F.regexp_extract_all(grp, F.lit(_PATH_RULE_LINE_RE), F.lit(0))
+    out = (
+        robots.filter(F.col("body").isNotNull())
+        .select("host", F.explode(lines).alias("_line"))
+        .select(
+            "host",
+            F.lower(
+                F.regexp_extract(F.col("_line"), r"(?i)^\s*(allow|disallow)", 1)
+            ).alias("_action"),
+            # strip ONE trailing '*' (prefix-equivalent wildcard)
+            F.regexp_replace(
+                F.regexp_extract(F.col("_line"), r"(/[^ \t\r\n#]*)$", 1),
+                r"\*$",
+                "",
+            ).alias("prefix"),
+        )
+        # non-prefix-expressible wildcard rules are skipped (fail OPEN)
+        .filter(
+            ~F.col("prefix").contains("*") & ~F.col("prefix").contains("$")
+        )
+        .select(
+            "host", "prefix", (F.col("_action") == "allow").alias("allow")
+        )
+    )
+    # 'Disallow: /*' strips to '' — normalize to the site root '/'
+    out = out.withColumn(
+        "prefix",
+        F.when(F.col("prefix") == "", F.lit("/")).otherwise(F.col("prefix")),
+    )
+    return out.groupBy("host", "prefix").agg(
+        F.max("allow").alias("allow")  # duplicate prefix: allow wins
+    )
+
+
+def path_rules_dim(path_rules: DataFrame) -> DataFrame:
+    """(host, prefix, allow) rules → one row per host carrying its
+    rules as an array<struct<prefix,allow>>.
+
+    THE join shape for the per-url gate: a rules dim is O(hosts) rows
+    (each a handful of structs), so it broadcast-joins against a
+    100-TB pages frame WITHOUT multiplying page rows by rule count —
+    the naive rules-equi-join would explode every fat page row once
+    per rule before re-aggregating. The verdict then evaluates as a
+    native array expression per row (no shuffle, no Python)."""
+    return path_rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("path_rules")
+    )
+
+
+def path_denied(url, rules_arr) -> "F.Column":
+    """url + array<struct<prefix,allow>> → boolean deny verdict.
+
+    RFC 9309 §2.2.2 most-specific-match: among rules whose prefix
+    starts the url's path, the LONGEST wins; if it is a disallow the
+    url is denied. No matching rule / null array (host absent from the
+    dim) → False (fail OPEN). A length tie is impossible post-
+    parse_robots_path_rules: prefixes are distinct per host, and two
+    distinct equal-length strings cannot both prefix one path — the
+    struct's allow field is payload, not a tie-break."""
+    p = path_of(url)
+    matches = F.filter(
+        rules_arr, lambda r: p.startswith(r.getField("prefix"))
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r.getField("prefix")).alias("l"),
+                r.getField("allow").alias("allow"),
+            ),
+        )
+    )
+    return F.coalesce(~best.getField("allow"), F.lit(False))

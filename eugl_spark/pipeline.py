@@ -55,6 +55,7 @@ def apply_pipeline(
     with_udf_stages: bool = True,  # kept for API compat; kernel always runs
     repartition_to: int | None = None,
     host_rules: DataFrame | None = None,
+    path_rules: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → labeled documents.
 
@@ -99,6 +100,28 @@ def apply_pipeline(
     else:
         pages = pages.withColumn("_host_action", F.lit(None).cast("string"))
 
+    # optional path-scoped robots overlay (RFC 9309 §2.2.2): the
+    # (host, prefix, allow) rules collapse to ONE row per host with a
+    # rules ARRAY (functions/robots.py:path_rules_dim) before the
+    # broadcast join, so page rows are never multiplied by rule count;
+    # the longest-prefix verdict evaluates as a native array
+    # expression per row — no shuffle, no Python, O(rules) state.
+    if path_rules is not None:
+        from eugl_spark.functions.robots import path_denied, path_rules_dim
+
+        dim = path_rules_dim(path_rules).select(
+            F.col("host").alias("_prule_host"),
+            F.col("path_rules").alias("_path_rules"),
+        )
+        pages = pages.join(
+            F.broadcast(dim),
+            host(F.col("url")) == F.col("_prule_host"),
+            "left",
+        ).drop("_prule_host")
+        path_deny = path_denied(F.col("url"), F.col("_path_rules"))
+    else:
+        path_deny = F.lit(False)
+
     # host policy actions: 'deny' drops the host outright;
     # 'sample:NN' keeps a deterministic NN% of the host's urls
     # (crawl rebalancing — a hot host can be down-weighted without a
@@ -141,7 +164,10 @@ def apply_pipeline(
     # no-content struct, so condemned rows carry null qa metrics
     # (documented trade-off).
     condemned = F.coalesce(
-        (F.col("_host_action") == "deny") | sampled_out | iflag.isNotNull(),
+        (F.col("_host_action") == "deny")
+        | sampled_out
+        | path_deny
+        | iflag.isNotNull(),
         F.lit(False),
     )
     # html crosses the boundary only for rows that need extraction
@@ -154,6 +180,7 @@ def apply_pipeline(
     drop_reason = (
         F.when(F.col("_host_action") == "deny", "host_deny")
         .when(sampled_out, "host_sampled")
+        .when(path_deny, "robots_path")
         .when(iflag.isNotNull(), F.concat(F.lit("ingest_"), iflag))
         .when(te.isNull() | (te == ""), "no_content")
         .when(k.getField("n_chars") < C.MIN_CHARS, "too_short")

@@ -5440,6 +5440,190 @@ def crawl_ingest_parse(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# robots.txt path rules, cross-engine (VERDICT r5 missing #2). The
+# Spark side is functions/robots.py (regex groups with lookahead —
+# inexpressible in DuckDB's RE2), so the oracle is an INDEPENDENT
+# line-window reimplementation of RFC 9309 group/rule semantics:
+# agreement pins the CONTRACT, not a shared regex.
+# ---------------------------------------------------------------------------
+
+
+def _robots_corpus_paths() -> tuple[str, str]:
+    return (
+        _entry_corpus_path("eugl_robots"),
+        _entry_corpus_path("eugl_robots_urls"),
+    )
+
+
+def ensure_robots_corpus() -> tuple[str, str]:
+    import os
+
+    from eugl_spark.corpus import write_robots_parquet
+
+    rp, up = _robots_corpus_paths()
+    if not (os.path.exists(rp) and os.path.exists(up)):
+        pid = os.getpid()
+        write_robots_parquet(f"{rp}.{pid}.tmp", f"{up}.{pid}.tmp")
+        os.replace(f"{rp}.{pid}.tmp", rp)
+        os.replace(f"{up}.{pid}.tmp", up)
+    return rp, up
+
+
+def _robots_rules_cte() -> str:
+    """WITH-chain ending in ``rules(host, prefix, allow)`` — the
+    line-window parse: split bodies into ordinal lines, open a group
+    at each User-agent line not preceded by one (RFC 9309 §2.2.1
+    stacked runs), take the FIRST group whose UA run names '*', then
+    extract its Allow/Disallow prefixes (trailing '*' stripped,
+    residual wildcard/'$' rules skipped fail-open, '' → '/',
+    duplicate prefix → allow)."""
+    rp, _ = _robots_corpus_paths()
+    return rf"""
+    WITH rb AS (
+      SELECT host, body FROM read_parquet('{rp}')
+      WHERE body IS NOT NULL
+    ), lines AS (
+      SELECT host,
+        unnest(string_split(body, chr(10))) AS line,
+        generate_subscripts(string_split(body, chr(10)), 1) AS i
+      FROM rb
+    ), marked AS (
+      SELECT host, line, i,
+        regexp_matches(line, '(?i)^[ \t]*user-agent:') AS is_ua,
+        regexp_matches(line,
+          '(?i)^[ \t]*user-agent:[ \t]*\*[ \t]*(#[^\r]*)?\r?$') AS is_star
+      FROM lines
+    ), lagged AS (
+      SELECT host, line, i, is_ua, is_star,
+        (is_ua AND NOT coalesce(
+          lag(is_ua) OVER (PARTITION BY host ORDER BY i), FALSE))
+          AS grp_start
+      FROM marked
+    ), grouped AS (
+      SELECT host, line, i, is_ua, is_star,
+        sum(CASE WHEN grp_start THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY i
+                ROWS UNBOUNDED PRECEDING) AS gid
+      FROM lagged
+    ), star_groups AS (
+      SELECT host, min(gid) AS gid
+      FROM grouped WHERE is_ua AND is_star AND gid > 0
+      GROUP BY host
+    ), rule_lines AS (
+      SELECT g.host,
+        lower(regexp_extract(g.line,
+          '(?i)^[ \t]*(allow|disallow):', 1)) AS action,
+        regexp_extract(g.line,
+          '(?i)^[ \t]*(allow|disallow):[ \t]*(/[^ \t\r\n#]*)', 2) AS rawpref
+      FROM grouped g
+      JOIN star_groups s ON g.host = s.host AND g.gid = s.gid
+      WHERE NOT g.is_ua
+        AND regexp_matches(g.line, '(?i)^[ \t]*(allow|disallow):[ \t]*/')
+    ), norm AS (
+      SELECT host, action,
+        regexp_replace(rawpref, '\*$', '') AS pref
+      FROM rule_lines
+    ), kept AS (
+      SELECT host,
+        CASE WHEN pref = '' THEN '/' ELSE pref END AS prefix,
+        (action = 'allow') AS allow
+      FROM norm
+      WHERE NOT contains(pref, '*') AND NOT contains(pref, '$')
+    ), rules AS (
+      SELECT host, prefix, bool_or(allow) AS allow
+      FROM kept GROUP BY host, prefix
+    )"""
+
+
+def _robots_paths_sql() -> str:
+    return f"""{_robots_rules_cte()}
+    SELECT host, prefix, allow FROM rules ORDER BY host, prefix"""
+
+
+@q(
+    "crawl_robots_paths",
+    _robots_paths_sql(),
+    "Path-scoped robots rules (RFC 9309 §2.2.2): robots.txt bodies → "
+    "(host, prefix, allow) dim — stacked-UA wildcard group selection, "
+    "trailing-* stripping, fail-open wildcard/anchor skip, duplicate-"
+    "prefix allow tie. Oracle is an independent line-window SQL "
+    "reimplementation (RE2 has no lookahead), so agreement pins the "
+    "parse CONTRACT across two unrelated implementations.",
+)
+def crawl_robots_paths(spark, sf_dir):
+    """JVM-side regex parse (functions/robots.py) over the robots
+    fixture; output is the O(rules) broadcastable dim the pipeline's
+    path gate consumes."""
+    from eugl_spark.functions.robots import parse_robots_path_rules
+
+    rp, _ = ensure_robots_corpus()
+    robots = spark.read.parquet(rp)
+    return parse_robots_path_rules(robots).orderBy("host", "prefix")
+
+
+def _robots_verdict_sql() -> str:
+    from eugl_spark.functions.hosts import HOST_RE, PATH_RE
+
+    _, up = _robots_corpus_paths()
+    return f"""{_robots_rules_cte()}
+    , u AS (
+      SELECT url,
+        nullif(regexp_extract(url, '{HOST_RE}', 1), '') AS host,
+        CASE WHEN regexp_extract(url, '{PATH_RE}', 1) = '' THEN '/'
+             ELSE regexp_extract(url, '{PATH_RE}', 1) END AS path
+      FROM read_parquet('{up}')
+    ), matches AS (
+      SELECT u.url, r.allow, length(r.prefix) AS plen
+      FROM u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)
+    ), best AS (
+      SELECT url, arg_max(allow, plen) AS allow
+      FROM matches GROUP BY url
+    )
+    SELECT u.url, coalesce(b.allow, TRUE) AS allowed
+    FROM u LEFT JOIN best b ON u.url = b.url
+    ORDER BY u.url"""
+
+
+@q(
+    "crawl_robots_verdict",
+    _robots_verdict_sql(),
+    "Per-url robots path gate: longest-prefix-wins verdict "
+    "(most-specific match, RFC 9309 §2.2.2) over the parsed rules "
+    "dim. The Spark side is THE pipeline gate expression "
+    "(path_rules_dim + path_denied — one row per host carrying a "
+    "rules array, broadcast join, native array evaluation: page rows "
+    "are never multiplied by rule count); the oracle re-derives the "
+    "verdict with a join + arg_max window — two shapes, one "
+    "contract.",
+)
+def crawl_robots_verdict(spark, sf_dir):
+    from eugl_spark.functions.hosts import host_of
+    from eugl_spark.functions.robots import (
+        parse_robots_path_rules,
+        path_denied,
+        path_rules_dim,
+    )
+
+    rp, up = ensure_robots_corpus()
+    robots = spark.read.parquet(rp)
+    urls = spark.read.parquet(up)
+    dim = path_rules_dim(parse_robots_path_rules(robots))
+    return (
+        urls.join(
+            F.broadcast(dim), host_of(F.col("url")) == dim["host"], "left"
+        )
+        .select(
+            "url",
+            (~path_denied(F.col("url"), F.col("path_rules"))).alias(
+                "allowed"
+            ),
+        )
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
 # contract (repo:__spark_entry__.py): every operator family's flagship —
@@ -5451,6 +5635,23 @@ def crawl_ingest_parse(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SNAPSHOT_TAIL = [
+    # Round-6 rotation (VERDICT r5 missing #3): crawl_ingest_parse
+    # PROMOTED to the window (first-ever driver evidence) alongside
+    # the two new robots queries (crawl_robots_paths /
+    # crawl_robots_verdict — first-evers by construction) and the
+    # re-entry of events_sessionize + qf_drop_reason_dist (stalest
+    # driver evidence, r3). Five family-redundant r5-green ops take
+    # their slots: ann_lsh_pairs / ann_kmeans_cells (ANN keeps
+    # bruteforce, ivf_topk, kmeans_topk — the trained-quantizer
+    # capstone — in-window), decontaminate_bloom (decontaminate_train
+    # stays), corpus_upsample_epochs (budget + mixture stay),
+    # events_json_extract (driver-green r5; events keep asof +
+    # transition_matrix in-window).
+    "ann_lsh_pairs",
+    "ann_kmeans_cells",
+    "decontaminate_bloom",
+    "corpus_upsample_epochs",
+    "events_json_extract",
     # Round-5 rotation (VERDICT r4 missing #3): 2-3 window slots
     # rotate to tail ops each round so driver evidence accretes over
     # the whole registry. This round events_json_extract and
@@ -5470,10 +5671,6 @@ _SNAPSHOT_TAIL = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_lsh_buckets",
-    # registered round 5 straight to the tail (local-gate evidence;
-    # S1/S9 already carry pytest + bench coverage — a future rotation
-    # can promote it)
-    "crawl_ingest_parse",
     # embedding_stats / tpch_q1 demoted with qf_ppl_buckets' and
     # qf_score_calibration's registrations (same bookkeeping: window
     # must stay exactly the first 50; q3/q5 keep the join flagships)
@@ -5498,15 +5695,8 @@ _SNAPSHOT_TAIL = [
     "ann_ivf_cells",
     "text_top_bigrams",
     "corpus_host_diversity",
-    # demoted with crawl_build_corpus (the crawl capstone): sessionize
-    # is streaming-adjacent evidence the 3 streaming test files +
-    # events_asof keep covered; driver-green r01–r03
-    "events_sessionize",
-    # demoted with crawl_host_quality: the qf family keeps verdict /
-    # scrub / token_stats / ppl_buckets / calibration in-window;
-    # drop-reason histogram evidence also lives in the capstone's
-    # reason column. Driver-green r01–r03.
-    "qf_drop_reason_dist",
+    # (events_sessionize and qf_drop_reason_dist re-entered the
+    # window in round 6 — stalest driver evidence, r3)
     # demoted with graph_components_hosts: the composite grade's
     # evidence continues via qf_score_calibration (trained-score
     # deciles) in-window. Driver-green r03.

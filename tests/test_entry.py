@@ -47,16 +47,16 @@ FLAGSHIPS = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_embedding_clusters",
+    # ann_lsh_pairs / ann_kmeans_cells / corpus_upsample_epochs /
+    # decontaminate_bloom rotated to the tail in round 6 (driver-green
+    # r5; each family keeps in-window flagships — see _SNAPSHOT_TAIL)
     "ann_topk_bruteforce",
-    "ann_lsh_pairs",
     "ann_ivf_topk",
-    "ann_kmeans_cells",
     "ann_kmeans_topk",
     "qf_train_linear",
     "qf_linear_score",
     "corpus_token_budget",
     "corpus_mixture_sample",
-    "corpus_upsample_epochs",
     "decontaminate_train",
     "split_train_val_test",
     "text_bpe_token_stats",
@@ -73,7 +73,6 @@ FLAGSHIPS = [
     "dedup_paragraphs",
     "qf_repetition_profile",
     "dsir_importance",
-    "decontaminate_bloom",
     "qf_ppl_buckets",
     "qf_score_calibration",
     # web-graph family (round 4, continuation)
@@ -87,6 +86,11 @@ FLAGSHIPS = [
     "crawl_build_corpus",
     "crawl_host_quality",
     "graph_components_hosts",
+    # round-6 additions: the ingestion-parse contract (first-ever
+    # driver evidence) and the path-scoped robots pair
+    "crawl_ingest_parse",
+    "crawl_robots_paths",
+    "crawl_robots_verdict",
 ]
 
 

@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from eugl_spark.functions.robots import parse_robots_rules
+from eugl_spark.functions.robots import (
+    parse_robots_path_rules,
+    parse_robots_rules,
+    path_denied,
+    path_rules_dim,
+)
 from eugl_spark.pipeline import apply_pipeline
 
 
@@ -171,6 +176,160 @@ def test_indented_and_commented_rule_lines(spark):
     assert got["tailcomment.example"] == "deny"
     assert got["delayindent.example"] == "sample:10"
     assert got["uacomment.example"] == "deny"
+
+
+def _path_rules(spark, rows) -> dict:
+    df = spark.createDataFrame(rows, "host string, body string")
+    return {
+        (r["host"], r["prefix"]): r["allow"]
+        for r in parse_robots_path_rules(df).collect()
+    }
+
+
+def test_path_rules_parse_contract(spark):
+    rows = [
+        # plain disallow + allow override candidate
+        (
+            "a.example",
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+        ),
+        # empty Disallow (allow-all) emits NOTHING; site-wide deny
+        # emits the '/' rule (host-level deny is parse_robots_rules's
+        # job, but the path dim must agree on '/')
+        ("b.example", "User-agent: *\nDisallow:\nDisallow: /\n"),
+        # trailing '*' is prefix-equivalent → stripped; mid-pattern
+        # wildcards / '$' anchors are skipped (fail OPEN)
+        (
+            "c.example",
+            "User-agent: *\nDisallow: /tmp*\nDisallow: /a/*/b\n"
+            "Disallow: /x$\nAllow: /ok/\n",
+        ),
+        # rules in an agent-specific group are not ours
+        ("d.example", "User-agent: OtherBot\nDisallow: /private/\n"),
+        # duplicate prefix: allow wins (RFC tie rule)
+        (
+            "e.example",
+            "User-agent: *\nDisallow: /p/\nAllow: /p/\n",
+        ),
+        # 'Disallow: /*' normalizes to '/'
+        ("f.example", "User-agent: *\nDisallow: /*\n"),
+        ("null.example", None),
+    ]
+    got = _path_rules(spark, rows)
+    assert got == {
+        ("a.example", "/private/"): False,
+        ("a.example", "/private/pub/"): True,
+        ("b.example", "/"): False,
+        ("c.example", "/tmp"): False,
+        ("c.example", "/ok/"): True,
+        ("e.example", "/p/"): True,
+        ("f.example", "/"): False,
+    }
+
+
+def test_path_rules_parse_is_jvm_side(spark):
+    df = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /p/\n")],
+        "host string, body string",
+    )
+    p = (
+        parse_robots_path_rules(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in p
+
+
+def test_path_denied_longest_prefix_wins(spark):
+    """Nested allow/disallow: the MOST SPECIFIC matching prefix
+    decides (RFC 9309 §2.2.2), not rule order."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "h.example",
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/pub/\n"
+                "Disallow: /private/pub/secret/\n",
+            )
+        ],
+        "host string, body string",
+    )
+    dim = path_rules_dim(parse_robots_path_rules(robots))
+    urls = spark.createDataFrame(
+        [
+            ("https://h.example/private/a", True),
+            ("https://h.example/private/pub/x", False),
+            ("https://h.example/private/pub/secret/y", True),
+            ("https://h.example/open/z", False),
+            ("https://h.example", False),  # no path ≡ '/': unmatched
+            ("https://other.example/private/a", False),  # host absent
+            ("not a url", False),  # malformed: null host, fail open
+        ],
+        "url string, want_denied boolean",
+    )
+    from eugl_spark.functions.hosts import host_of
+
+    out = (
+        urls.join(F.broadcast(dim), host_of(F.col("url")) == dim["host"], "left")
+        .select(
+            "url",
+            "want_denied",
+            path_denied(F.col("url"), F.col("path_rules")).alias("denied"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["denied"] == r["want_denied"], r["url"]
+
+
+def test_path_rules_drive_pipeline(spark):
+    """End-to-end: a path-scoped disallow drops exactly the urls under
+    the prefix, with drop_reason='robots_path'; the allow override
+    under it survives."""
+    import numpy as np
+
+    from eugl_spark.corpus import _chain
+
+    rng = np.random.RandomState(5)
+    txt = lambda: " ".join(_chain("en", 60, rng))  # noqa: E731
+    pages = spark.createDataFrame(
+        [
+            (f"https://p.example{path}", None, txt(), "en")
+            for path in (
+                "/private/a",
+                "/private/b",
+                "/private/pub/ok",
+                "/open/c",
+                "",
+            )
+        ],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    robots = spark.createDataFrame(
+        [
+            (
+                "p.example",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+            )
+        ],
+        "host string, body string",
+    )
+    out = apply_pipeline(
+        pages,
+        path_rules=parse_robots_path_rules(robots),
+        repartition_to=0,
+    ).collect()
+    got = {r["url"]: (r["keep"], r["drop_reason"]) for r in out}
+    assert got["https://p.example/private/a"] == (False, "robots_path")
+    assert got["https://p.example/private/b"] == (False, "robots_path")
+    assert got["https://p.example/private/pub/ok"][0] is True
+    assert got["https://p.example/open/c"][0] is True
+    assert got["https://p.example"][0] is True
+    # condemned rows skipped the kernel: null qa metrics
+    denied = [r for r in out if r["drop_reason"] == "robots_path"]
+    assert all(r["qa"]["heuristics"]["n_chars"] is None for r in denied)
 
 
 def test_stacked_user_agent_lines_form_one_group(spark):
