@@ -113,7 +113,35 @@ PATHO = [
     # bare-host target (no trailing slash) now contributes an edge
     _page(26, "https://ok.example/p/26",
           _a("https://bare-host.example", "bare").encode()),
+    # same-instant revisits with DIFFERENT content (VERDICT r5 wrong
+    # #2): per-column max_by could mix html from one revisit with
+    # text/lang from another; the atomic struct winner + content-md5
+    # tie-break must make both engines pick the SAME whole row. Three
+    # snapshots, one tied pair differing in all three columns plus a
+    # WET row tied too (html null, text set, lang differs).
+    _page(27, "https://tiediff.example/p/0",
+          (_a("https://linked.example/t1") + "<p>alpha body</p>").encode(),
+          lang="en", ts=T0 + timedelta(days=2)),
+    _page(28, "https://tiediff.example/p/0",
+          (_a("https://linked.example/t2") + "<p>beta body</p>").encode(),
+          text="pre-extracted beta", lang="de", ts=T0 + timedelta(days=2)),
+    _page(29, "https://tiediff.example/p/0", None,
+          text="wet gamma text from a tied conversion capture",
+          lang="fr", ts=T0 + timedelta(days=2)),
+    # tied revisits where warc_ts is NULL on every snapshot: winner
+    # must fall to the content tie-break alone, identically in both
+    # engines (Spark orders null struct fields first, DuckDB last —
+    # the coalesce-to-epoch in both orderings removes the divergence)
+    _page(30, "https://nullts.example/p/0",
+          b"<p>null ts one</p>", lang="en", ts=False),
+    _page(31, "https://nullts.example/p/0",
+          b"<p>null ts two</p>", lang="en", ts=False),
 ]
+# ts=False sentinel → real NULL timestamp (None means "default" in
+# _page's signature)
+for _r in PATHO:
+    if _r["warc_ts"] is False:
+        _r["warc_ts"] = None
 
 _SCHEMA = pa.schema(
     [
