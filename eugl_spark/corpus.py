@@ -15,12 +15,22 @@ keeps it reproducible across runs and machines.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
 
 from eugl_spark import constants as C
+
+# Generator version, captured AT IMPORT TIME from this module's own
+# bytes: fixture paths are keyed on it so a stale cached parquet can
+# never serve a newer generator. Computed here (not at call time via
+# inspect.getsource) because a long-lived process whose loaded module
+# predates an on-disk edit would otherwise hash the NEW file while
+# running the OLD generator — and write stale fixtures to the new
+# version's path (observed: a background pytest racing an edit).
+_SRC_VERSION = _hashlib.md5(open(__file__, "rb").read()).hexdigest()[:8]
 
 # (case, weight) — weights normalized; covers every row class from
 # FIXTURES.md §1.
@@ -552,6 +562,27 @@ def generate_robots_corpus(
         urls.append(f"https://{h}{p}")
     # a few malformed urls: null host -> fail open in both engines
     urls.extend(["not a url", "ftp://r0.example/private/a"])
+    # messy re-crawl variants (dedup_url_canonical exercise; the
+    # robots queries also see them — uppercase scheme/host fails the
+    # case-sensitive host join OPEN, fragments/queries are outside
+    # PATH_RE's capture): tracking params in every position, fragment,
+    # www., uppercase scheme+host, trailing slash, dangling '?'
+    urls.extend(
+        [
+            "https://r1.example/open/ok?utm_source=feed&q=1",
+            "https://r1.example/open/ok?q=1",
+            "https://r1.example/open/ok?q=1&utm_medium=em&gclid=g1",
+            "https://r1.example/open/ok?q=1#frag",
+            "https://www.r1.example/open/ok?q=1",
+            "HTTPS://R1.EXAMPLE/open/ok?q=1",
+            "https://r1.example/open/ok/?q=1",
+            "https://r1.example/open/ok?",
+            "https://r1.example/open/ok?fbclid=abc",
+            "https://r2.example/p/one/",
+            "https://r2.example/p/one///",
+            "https://r2.example/p/one#sec-2",
+        ]
+    )
     return robots, pd.DataFrame({"url": sorted(set(urls))})
 
 

@@ -2122,16 +2122,19 @@ def _entry_corpus_path(stem: str = "eugl_entry_pages") -> str:
     cache from an older eugl_spark.corpus would silently serve both
     engine and oracle (parity stays green while the new corpus cases
     are never exercised) — content-version the filename instead.
-    ONE definition consumed by both the Spark query and the SQL twin."""
-    import hashlib
-    import inspect
+    ONE definition consumed by both the Spark query and the SQL twin.
+    The hash is corpus._SRC_VERSION, captured at the generator's
+    IMPORT time: hashing the file at call time let a process whose
+    loaded module predated an on-disk edit write OLD-generator
+    fixtures to the NEW version's path (observed race)."""
     import os
     import tempfile
 
     from eugl_spark import corpus
 
-    ver = hashlib.md5(inspect.getsource(corpus).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"{stem}_{ver}.parquet")
+    return os.path.join(
+        tempfile.gettempdir(), f"{stem}_{corpus._SRC_VERSION}.parquet"
+    )
 
 
 def ensure_entry_corpus() -> str:
@@ -5686,6 +5689,59 @@ def crawl_robots_verdict(spark, sf_dir):
             ),
         )
         .orderBy("url")
+    )
+
+
+def _canonical_url_sql(col: str = "url") -> str:
+    """DuckDB twin of functions/urls.py::canonical_url — the same
+    regex chain (RE2-safe by construction there), with DuckDB's 'g'
+    flag supplying Java regexp_replace's replace-all default and \\1
+    standing in for $1."""
+    head = f"regexp_extract({col}, '^([^/]*//[^/?#]*)', 1)"
+    u = f"(lower({head}) || substr({col}, length({head}) + 1))"
+    u = f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    from eugl_spark.functions.urls import _TRACKING_RE
+
+    u = f"regexp_replace({u}, '{_TRACKING_RE}', '\\1', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '')"
+    u = f"regexp_replace({u}, '(//[^/]+/[^?#]+?)/+$', '\\1')"
+    return u
+
+
+def _url_canonical_sql() -> str:
+    _, up = _robots_corpus_paths()
+    return f"""
+    SELECT {_canonical_url_sql()} AS canonical_url,
+      count(*) AS n_variants,
+      min(url) AS keeper_url
+    FROM read_parquet('{up}')
+    GROUP BY 1 ORDER BY 1"""
+
+
+# registered at the head's end — OUTSIDE the round-6 driver window
+# (the window's 50 slots are spoken for this round; the rotation
+# policy promotes tail/late entries in later rounds). Local-gate
+# evidence from tests/test_entry.py applies immediately.
+@q(
+    "dedup_url_canonical",
+    _url_canonical_sql(),
+    "URL-canonicalization dedup (crawl-side, cheapest dedup stage): "
+    "lowercased scheme+host, www./fragment/tracking-param stripping "
+    "with query-string stitching, trailing-slash normalization; "
+    "group by canonical form, deterministic keeper. The regex chain "
+    "is RE2/Java-portable and runs JVM-side at scan parallelism — "
+    "no shuffle beyond the final hash-groupBy on the slim key.",
+)
+def dedup_url_canonical(spark, sf_dir):
+    from eugl_spark.functions.urls import dedup_by_canonical_url
+
+    _, up = ensure_robots_corpus()
+    return (
+        dedup_by_canonical_url(spark.read.parquet(up))
+        .orderBy("canonical_url")
     )
 
 

@@ -241,3 +241,32 @@ def test_span_coverage_no_cartesian(spark, sf_dir):
 
     p = _plan(REGISTRY["dedup_span_coverage"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_path_rules_broadcast_array_gate(spark):
+    """The robots path-rule dim joins as ONE broadcast hash join (one
+    rules-array row per host — page rows never multiply by rule
+    count), the verdict is a native array expression (no Python
+    boundary beyond the pipeline's single kernel), and the fat html
+    column never enters a shuffle for the gate."""
+    from eugl_spark.functions.robots import parse_robots_path_rules
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /p/\nAllow: /p/ok/\n")],
+        "host string, body string",
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/p/x", None, "text body", "en", None)],
+        "url string, html binary, text string, lang string, "
+        "warc_ts timestamp",
+    )
+    out = apply_pipeline(
+        pages,
+        path_rules=parse_robots_path_rules(robots),
+        repartition_to=0,
+    )
+    p = _plan(out)
+    assert p.count("BroadcastHashJoin") == 1
+    # exactly the pipeline's one Arrow boundary — the gate adds none
+    assert p.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
