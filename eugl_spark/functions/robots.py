@@ -209,3 +209,21 @@ def path_denied(url, rules_arr) -> "F.Column":
         )
     )
     return F.coalesce(~best.getField("allow"), F.lit(False))
+
+
+def path_verdict_frame(urls: DataFrame, robots: DataFrame) -> DataFrame:
+    """urls(url) × robots(host, body) → (url, allowed).
+
+    THE full composition — parse → per-host rules array → broadcast
+    join → longest-prefix verdict — as one library call; the registry
+    query crawl_robots_verdict and the pathological sweep both run
+    exactly this."""
+    from eugl_spark.functions.hosts import host_of
+
+    dim = path_rules_dim(parse_robots_path_rules(robots))
+    return urls.join(
+        F.broadcast(dim), host_of(F.col("url")) == dim["host"], "left"
+    ).select(
+        "url",
+        (~path_denied(F.col("url"), F.col("path_rules"))).alias("allowed"),
+    )

@@ -5538,15 +5538,16 @@ def ensure_robots_corpus() -> tuple[str, str]:
     return rp, up
 
 
-def _robots_rules_cte() -> str:
+def _robots_rules_cte(path: str | None = None) -> str:
     """WITH-chain ending in ``rules(host, prefix, allow)`` — the
     line-window parse: split bodies into ordinal lines, open a group
     at each User-agent line not preceded by one (RFC 9309 §2.2.1
     stacked runs), take the FIRST group whose UA run names '*', then
     extract its Allow/Disallow prefixes (trailing '*' stripped,
     residual wildcard/'$' rules skipped fail-open, '' → '/',
-    duplicate prefix → allow)."""
-    rp, _ = _robots_corpus_paths()
+    duplicate prefix → allow). ``path`` re-points the identical
+    contract at a pathological corpus (the link-builder pattern)."""
+    rp = path or _robots_corpus_paths()[0]
     return rf"""
     WITH rb AS (
       SELECT host, body FROM read_parquet('{rp}')
@@ -5604,8 +5605,8 @@ def _robots_rules_cte() -> str:
     )"""
 
 
-def _robots_paths_sql() -> str:
-    return f"""{_robots_rules_cte()}
+def _robots_paths_sql(path: str | None = None) -> str:
+    return f"""{_robots_rules_cte(path)}
     SELECT host, prefix, allow FROM rules ORDER BY host, prefix"""
 
 
@@ -5630,11 +5631,13 @@ def crawl_robots_paths(spark, sf_dir):
     return parse_robots_path_rules(robots).orderBy("host", "prefix")
 
 
-def _robots_verdict_sql() -> str:
+def _robots_verdict_sql(
+    path: str | None = None, urls_path: str | None = None
+) -> str:
     from eugl_spark.functions.hosts import HOST_RE, PATH_RE
 
-    _, up = _robots_corpus_paths()
-    return f"""{_robots_rules_cte()}
+    up = urls_path or _robots_corpus_paths()[1]
+    return f"""{_robots_rules_cte(path)}
     , u AS (
       SELECT url,
         nullif(regexp_extract(url, '{HOST_RE}', 1), '') AS host,
@@ -5667,29 +5670,12 @@ def _robots_verdict_sql() -> str:
     "contract.",
 )
 def crawl_robots_verdict(spark, sf_dir):
-    from eugl_spark.functions.hosts import host_of
-    from eugl_spark.functions.robots import (
-        parse_robots_path_rules,
-        path_denied,
-        path_rules_dim,
-    )
+    from eugl_spark.functions.robots import path_verdict_frame
 
     rp, up = ensure_robots_corpus()
-    robots = spark.read.parquet(rp)
-    urls = spark.read.parquet(up)
-    dim = path_rules_dim(parse_robots_path_rules(robots))
-    return (
-        urls.join(
-            F.broadcast(dim), host_of(F.col("url")) == dim["host"], "left"
-        )
-        .select(
-            "url",
-            (~path_denied(F.col("url"), F.col("path_rules"))).alias(
-                "allowed"
-            ),
-        )
-        .orderBy("url")
-    )
+    return path_verdict_frame(
+        spark.read.parquet(up), spark.read.parquet(rp)
+    ).orderBy("url")
 
 
 def _canonical_url_sql(col: str = "url") -> str:
