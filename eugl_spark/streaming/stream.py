@@ -30,19 +30,29 @@ def stream_pipeline(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    host_rules=None,
+    path_rules=None,
 ) -> StreamingQuery:
     """Incremental quality filter over a parquet drop directory.
 
     AvailableNow: drains all unprocessed files then stops — rerunning
     after new drops processes only the new files (checkpointed source
     offsets), the luigi target-existence resume recast on streaming.
+
+    ``host_rules`` / ``path_rules`` are the batch pipeline's policy
+    dims (robots deny/sample + path-scoped disallows), passed through
+    unchanged: both join as stream-STATIC broadcast joins — the dim is
+    re-read per micro-batch, so updating the robots snapshot between
+    runs re-gates subsequent drops without checkpoint surgery.
     """
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
-    out = apply_pipeline(src, repartition_to=0)
+    out = apply_pipeline(
+        src, repartition_to=0, host_rules=host_rules, path_rules=path_rules
+    )
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -60,6 +70,8 @@ def stream_warc_drops(
     checkpoint_dir: str,
     pattern: str = "*.warc*",
     transcode: bool = True,
+    host_rules=None,
+    path_rules=None,
 ) -> StreamingQuery:
     """Incremental RAW-CRAWL ingestion: a file stream over incoming
     ``.warc`` / ``.warc.gz`` drops, drained exactly-once per run.
@@ -104,7 +116,9 @@ def stream_warc_drops(
     pages = parse_crawl_records(
         split_warc_records_exact(src, transcode=transcode)
     )
-    out = apply_pipeline(pages, repartition_to=0)
+    out = apply_pipeline(
+        pages, repartition_to=0, host_rules=host_rules, path_rules=path_rules
+    )
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)

@@ -341,3 +341,93 @@ def test_stream_warc_drops_incremental_and_batch_parity(spark, tmp_path):
         r["url"] for r in got2.collect()
     } - set(s)
     assert new_urls == {f"https://sw{i % 3}.example/p/{i}" for i in range(14, 19)}
+
+
+def test_stream_policy_dims_gate_incrementally(spark, drop_dir, tmp_path):
+    """host_rules + path_rules pass through the streaming front as
+    stream-STATIC broadcast joins: a path-denied url carries
+    drop_reason=robots_path in the SINK output, a denied host carries
+    host_deny, and batch parity holds row-for-row with the same dims."""
+    from eugl_spark.functions.robots import parse_robots_path_rules
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # deterministic page set over two hosts with gated paths
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from eugl_spark.corpus import _chain
+
+    _rng = np.random.RandomState(9)
+    rows = [
+        {
+            "url": u,
+            "warc_ts": None,
+            "html": None,
+            "text": " ".join(_chain("en", 60, _rng)),
+            "lang": "en",
+        }
+        for u in (
+            "https://gated.example/private/a",
+            "https://gated.example/private/pub/ok",
+            "https://gated.example/open/b",
+            "https://denied.example/x",
+        )
+    ]
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(drop_dir, "part-000.parquet"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "gated.example",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+            )
+        ],
+        "host string, body string",
+    )
+    host_rules = spark.createDataFrame(
+        [("denied.example", "deny")], ["host", "action"]
+    )
+    path_rules = parse_robots_path_rules(robots)
+
+    q = stream_pipeline(
+        spark, drop_dir, out, ckpt,
+        host_rules=host_rules, path_rules=path_rules,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"]: r["drop_reason"]
+        for r in spark.read.parquet(out)
+        .select("url", "drop_reason")
+        .collect()
+    }
+    assert got["https://gated.example/private/a"] == "robots_path"
+    assert got["https://gated.example/private/pub/ok"] is None
+    assert got["https://gated.example/open/b"] is None
+    assert got["https://denied.example/x"] == "host_deny"
+
+    # batch parity with the same dims
+    batch = apply_pipeline(
+        spark.read.schema(PAGES_SCHEMA).parquet(drop_dir),
+        repartition_to=0,
+        host_rules=host_rules,
+        path_rules=path_rules,
+    )
+    b = sorted(
+        (r["url"], r["drop_reason"] or "")
+        for r in batch.select("url", "drop_reason").collect()
+    )
+    s = sorted((u, dr or "") for u, dr in got.items())
+    assert b == s
