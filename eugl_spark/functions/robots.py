@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eugl_spark.functions.hosts import path_of
+from eugl_spark.functions.hosts import host_of, path_of
 
 # A group = a RUN of consecutive User-agent lines followed by its rule
 # block, up to the next group or end-of-body (RFC 9309 §2.2.1: several
@@ -209,6 +209,28 @@ def path_denied(url, rules_arr) -> "F.Column":
         )
     )
     return F.coalesce(~best.getField("allow"), F.lit(False))
+
+
+def robots_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, text, …) → (host, body) robots snapshots.
+
+    THE self-curation source: a real crawl CONTAINS its own robots
+    policy — every host's /robots.txt is just another response record
+    in the WARC — so the (host, body) frame both parsers consume can
+    be derived from the same parsed-pages frame being gated, no side
+    channel. Rows whose url path is exactly /robots.txt (the RFC 9309
+    well-known location; query strings ignored by PATH_RE) become one
+    body per snapshot; multiple snapshots per host are fine — the
+    host parser takes the strictest action and the path parser's
+    duplicate-prefix allow-wins tie applies across snapshots too
+    (documented blend). WET ``conversion`` rows carry the body in
+    text; raw ``response`` rows in html."""
+    body = F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"))
+    return (
+        pages.filter(path_of(F.col("url")) == "/robots.txt")
+        .select(host_of(F.col("url")).alias("host"), body.alias("body"))
+        .filter(F.col("host").isNotNull())
+    )
 
 
 def path_verdict_frame(urls: DataFrame, robots: DataFrame) -> DataFrame:

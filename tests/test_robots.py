@@ -371,3 +371,58 @@ def test_stacked_user_agent_lines_form_one_group(spark):
         "star-last.example": "deny",
         "second-group.example": "sample:10",
     }
+
+
+def test_self_curating_crawl_end_to_end(spark):
+    """A crawl CONTAINS its own robots policy: /robots.txt response
+    records inside the WARC drops become the (host, body) frame
+    (robots_from_pages), both parsers derive the dims, and the SAME
+    parsed-pages frame is gated by them — raw record bytes to
+    robots-aware verdicts with no side channel."""
+    import numpy as np
+
+    from eugl_spark.corpus import _chain
+    from eugl_spark.functions.robots import robots_from_pages
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    rng = np.random.RandomState(7)
+
+    def rec(url, body):
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2024-03-01T00:00:00Z\r\n\r\n"
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n{body}"
+        ).encode()
+
+    txt = lambda: " ".join(_chain("en", 60, rng))  # noqa: E731
+    blobs = [
+        rec(
+            "https://a.example/robots.txt",
+            "User-agent: *\nDisallow: /private/\n",
+        ),
+        rec("https://b.example/robots.txt", "User-agent: *\nDisallow: /\n"),
+        rec("https://a.example/private/p1", f"<p>{txt()}</p>"),
+        rec("https://a.example/open/p2", f"<p>{txt()}</p>"),
+        rec("https://b.example/p3", f"<p>{txt()}</p>"),
+        rec("https://c.example/p4", f"<p>{txt()}</p>"),
+    ]
+    raw = spark.createDataFrame([(b,) for b in blobs], "content binary")
+    pages = parse_crawl_records(raw)
+
+    robots = robots_from_pages(pages)
+    out = apply_pipeline(
+        pages,
+        host_rules=parse_robots_rules(robots),
+        path_rules=parse_robots_path_rules(robots),
+        repartition_to=0,
+    )
+    got = {r["url"]: r["drop_reason"] for r in out.collect()}
+    assert got["https://a.example/private/p1"] == "robots_path"
+    assert got["https://a.example/open/p2"] is None
+    assert got["https://b.example/p3"] == "host_deny"
+    assert got["https://c.example/p4"] is None  # no robots: fail open
+    # the robots.txt records themselves flow through as documents and
+    # fall to the quality gates (too short / not prose), never to
+    # their own policy (robots.txt does not disallow /robots.txt here)
+    assert got["https://a.example/robots.txt"] is not None
