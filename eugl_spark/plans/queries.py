@@ -2911,7 +2911,10 @@ def crawl_build_corpus(spark, sf_dir):
 
 
 def crawl_corpus_from(
-    pages: DataFrame, repartition_to: int = 0
+    pages: DataFrame,
+    repartition_to: int = 0,
+    host_rules: DataFrame | None = None,
+    path_rules: DataFrame | None = None,
 ) -> DataFrame:
     """(url, warc_ts, html, text, lang) crawl → per-doc (url, reason,
     host, host_rank) — library surface of crawl_build_corpus.
@@ -2984,8 +2987,16 @@ def crawl_corpus_from(
             "_targets",
         )
     )
+    # optional robots policy dims pass straight to the pipeline's
+    # broadcast gates (default None keeps every oracle hash
+    # byte-identical); pair with functions.robots.robots_from_pages
+    # for the self-curating shape — the crawl's own /robots.txt
+    # records gating its corpus build
     labeled = apply_pipeline(
-        winners.drop("_targets"), repartition_to=repartition_to
+        winners.drop("_targets"),
+        repartition_to=repartition_to,
+        host_rules=host_rules,
+        path_rules=path_rules,
     )
     edges = (
         winners.select(

@@ -426,3 +426,55 @@ def test_self_curating_crawl_end_to_end(spark):
     # fall to the quality gates (too short / not prose), never to
     # their own policy (robots.txt does not disallow /robots.txt here)
     assert got["https://a.example/robots.txt"] is not None
+
+
+def test_self_curating_capstone(spark):
+    """The capstone's policy passthrough: robots dims derived from the
+    SAME crawl frame gate the corpus build — a path-denied url reports
+    reason=robots_path, a denied host host_deny, and both still carry
+    their host's PageRank annotation."""
+    import numpy as np
+
+    from eugl_spark.corpus import _chain
+    from eugl_spark.functions.robots import robots_from_pages
+    from eugl_spark.plans.queries import crawl_corpus_from
+
+    rng = np.random.RandomState(11)
+    txt = lambda: " ".join(_chain("en", 60, rng))  # noqa: E731
+
+    def page(url, html_text=None, body=None):
+        h = (body if body is not None else f"<p>{html_text}</p>").encode()
+        return (url, None, h, None, "en")
+
+    rows = [
+        page(
+            "https://a.example/robots.txt",
+            body="User-agent: *\nDisallow: /private/\n",
+        ),
+        page("https://b.example/robots.txt", body="User-agent: *\nDisallow: /\n"),
+        page("https://a.example/private/p1", txt()),
+        page(
+            "https://a.example/open/p2",
+            txt() + ' <a href="https://c.example/x">c</a>',
+        ),
+        page("https://b.example/p3", txt()),
+        page("https://c.example/p4", txt()),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.current_timestamp())
+
+    robots = robots_from_pages(pages)
+    out = crawl_corpus_from(
+        pages,
+        host_rules=parse_robots_rules(robots),
+        path_rules=parse_robots_path_rules(robots),
+    )
+    got = {r["url"]: (r["reason"], r["host_rank"]) for r in out.collect()}
+    assert got["https://a.example/private/p1"][0] == "robots_path"
+    assert got["https://a.example/open/p2"][0] == "KEEP"
+    assert got["https://b.example/p3"][0] == "host_deny"
+    assert got["https://c.example/p4"][0] == "KEEP"
+    # linked host still ranked despite gating (rank is authority, not
+    # permission — the corpus sampler weighs both)
+    assert got["https://c.example/p4"][1] > 0
