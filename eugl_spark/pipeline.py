@@ -106,6 +106,12 @@ def apply_pipeline(
     # broadcast join, so page rows are never multiplied by rule count;
     # the longest-prefix verdict evaluates as a native array
     # expression per row — no shuffle, no Python, O(rules) state.
+    # Scale note (100-TB reflection): a Common-Crawl-wide dim is
+    # ~40M robots hosts ≈ low-GB — still broadcastable; a FULL-web
+    # dim (10^8+ hosts) outgrows the broadcast budget, and the fix is
+    # to drop this one hint: AQE then picks a shuffle join keyed on
+    # host, which co-locates with the pipeline's own host bucketing.
+    # Same trade applies to host_rules above.
     if path_rules is not None:
         from eugl_spark.functions.robots import path_denied, path_rules_dim
 
