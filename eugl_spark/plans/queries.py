@@ -2357,6 +2357,36 @@ _LINK_HREF_RE = r'<a href="([^"]+)"'
 # SQL twin below (VERDICT r4 "What's wrong" #1).
 _LINK_HOST_RE = _HOST_RE
 
+# Fused single-pass twin of the (href-extract → host-extract → filter)
+# chain: captures the target HOST directly from the anchor tag, so the
+# fat html column is scanned by ONE regex instead of two (the Spark
+# hot path; SQL twins keep the readable two-pass form — results are
+# identical, which tests/test_webgraph.py pins by fuzz-comparing both
+# formulations). Equivalence with the two-pass chain, term by term:
+#   * `<a href="` stays case-SENSITIVE (only the scheme gets (?i:…),
+#     matching HOST_RE's (?i) which scoped the whole target);
+#   * href values contain no '"' ([^"]+ in _LINK_HREF_RE), so adding
+#     '"' to the userinfo/host classes cannot drop a host the
+#     two-pass chain kept — it only stops the scan at the closing
+#     quote so a '…@…' LATER in the document cannot bleed in;
+#   * the trailing [^"]*" re-imposes _LINK_HREF_RE's closing-quote
+#     requirement (an unterminated href at EOF matches neither);
+#   * host class [^/:?#@"]+ ≡ HOST_RE's [^/:?#@]+ within a
+#     quote-free target; userinfo greediness (strip to the LAST '@'
+#     before path/query/fragment) is preserved verbatim.
+_LINK_HOST_DIRECT_RE = (
+    r'<a href="(?i:https?)://(?:[^/?#"]*@)?([^/:?#@"]+)[^"]*"'
+)
+
+
+def link_target_hosts(html_str) -> "F.Column":
+    """html string column → array<string> of anchor-target hosts
+    (duplicates kept — link multiplicity is the edge weight). The
+    single-regex fused form of the extraction contract above."""
+    return F.regexp_extract_all(
+        html_str, F.lit(_LINK_HOST_DIRECT_RE), F.lit(1)
+    )
+
 
 def _link_corpus_path() -> str:
     return _entry_corpus_path("eugl_link_pages")
@@ -2412,19 +2442,17 @@ def link_host_edges(pages: DataFrame) -> DataFrame:
     few hosts, exactly when the partial agg collapses hardest)."""
     lk = pages.filter(F.col("html").isNotNull()).select(
         F.regexp_extract("url", _LINK_HOST_RE, 1).alias("src"),
-        F.explode(
-            F.regexp_extract_all(
-                F.col("html").cast("string"), F.lit(_LINK_HREF_RE), F.lit(1)
-            )
-        ).alias("target"),
+        # fused single-pass host capture (see _LINK_HOST_DIRECT_RE) —
+        # every element is a non-empty host by construction, so the
+        # two-pass chain's dst != '' filter is subsumed
+        F.explode(link_target_hosts(F.col("html").cast("string"))).alias(
+            "dst"
+        ),
     )
     return (
-        lk.select(
-            "src", F.regexp_extract("target", _LINK_HOST_RE, 1).alias("dst")
-        )
         # != '' also drops null src (null-url page): null != '' is
         # null, filtered — same rows the oracle's `src <> ''` drops
-        .filter((F.col("dst") != "") & (F.col("src") != ""))
+        lk.filter(F.col("src") != "")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_links"))
     )
@@ -2938,20 +2966,12 @@ def crawl_corpus_from(
 
     # per-row dst-host array (same extraction contract as
     # link_host_edges: double-quoted hrefs, http(s) host targets only;
-    # empties dropped per row so the exchange carries hosts, not urls)
+    # the fused regex captures hosts directly — ONE pass over the fat
+    # html column instead of href-extract → per-element host-extract →
+    # filter, and every element is non-empty by construction)
     tgt = F.when(
         F.col("html").isNotNull(),
-        F.filter(
-            F.transform(
-                F.regexp_extract_all(
-                    F.col("html").cast("string"),
-                    F.lit(_LINK_HREF_RE),
-                    F.lit(1),
-                ),
-                lambda t: F.regexp_extract(t, _LINK_HOST_RE, 1),
-            ),
-            lambda h: h != "",
-        ),
+        link_target_hosts(F.col("html").cast("string")),
     )
     # ATOMIC winner (VERDICT r5 wrong #2): one max_by over a
     # (html, text, lang) struct, ordered by _snapshot_ord's

@@ -289,3 +289,64 @@ def test_auto_round_dp_scales_with_graph_size():
     assert _auto_round_dp(101) == 11
     assert _auto_round_dp(2000) == 12
     assert _auto_round_dp(10**8) == 16  # ~8 sig digits below 1e-8
+
+
+def test_fused_host_regex_equals_two_pass(spark):
+    """The fused single-pass host capture (_LINK_HOST_DIRECT_RE) must
+    agree with the readable two-pass chain (href-extract → host-extract
+    → drop empties) that the SQL twins still embed — on adversarial
+    html: userinfo, ports, later-@ bleed bait, unterminated hrefs,
+    uppercase schemes/tags, empty hosts, unicode, nested quotes."""
+    import random
+
+    from eugl_spark.plans.queries import (
+        _LINK_HOST_DIRECT_RE,
+        _LINK_HOST_RE,
+        _LINK_HREF_RE,
+        link_target_hosts,
+    )
+
+    pieces = [
+        '<a href="https://plain.example/p">x</a>',
+        '<a href="http://user:pw@auth.example:8080/q?a=1#f">y</a>',
+        '<a href="https://a@b@last-at.example/">z</a>',
+        '<a href="HTTPS://UPPER.example/P">u</a>',
+        '<A HREF="https://upper-tag.example/">nope-tag-case</A>',
+        "<a href='https://single.example/'>sq</a>",
+        '<a href="/relative/only">rel</a>',
+        '<a href="mailto:someone@mail.example">m</a>',
+        '<a href="https://">empty-host</a>',
+        '<a href="https:///leading-slash">eh</a>',
+        '<a href="ftp://files.example/">ftp</a>',
+        '<a href="https://trailing.example"',  # no closing > but quoted
+        'text with stray@at and "quotes" and https://bare.example/',
+        '<a href="https://unicode-日本.example/ページ">uni</a>',
+        '<a href="https://x.example/a b">space-in-path</a>',
+        '<a href="https://no-close.example',  # unterminated at EOF-ish
+        'mail me at someone@later.example please',
+    ]
+    rng = random.Random(42)
+    docs = []
+    for i in range(60):
+        k = rng.randrange(0, 8)
+        docs.append((i, "".join(rng.choice(pieces) for _ in range(k))))
+    # every piece alone, too (incl. the unterminated ones last)
+    docs += [(100 + j, p) for j, p in enumerate(pieces)]
+    df = spark.createDataFrame(docs, "id long, page string")
+    two_pass = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col("page"), F.lit(_LINK_HREF_RE), F.lit(1)
+            ),
+            lambda t: F.regexp_extract(t, _LINK_HOST_RE, 1),
+        ),
+        lambda h: h != "",
+    )
+    rows = df.select(
+        "id",
+        link_target_hosts(F.col("page")).alias("fused"),
+        two_pass.alias("classic"),
+    ).collect()
+    assert rows, "fuzz frame must not be empty"
+    for r in rows:
+        assert r["fused"] == r["classic"], (r["id"], r["fused"], r["classic"])
