@@ -610,3 +610,171 @@ def write_robots_parquet(
         ),
         urls_path,
     )
+
+
+def generate_wat_records(n_rows: int = 500, seed: int = 5) -> pd.DataFrame:
+    """Deterministic WAT-style metadata records (Common Crawl's WAT
+    sidecar: a WARC ``metadata`` record per page whose payload is a
+    JSON envelope with the page's extracted head/link metadata — the
+    reference's sidecar-metadata scan S4/S5 analog, one level up).
+
+    Case mix, cycling: normal pages with mixed link kinds (anchors,
+    images, stylesheets; absolute/relative/mailto/userinfo/port
+    targets), pages with no HTML-Metadata at all (non-html captures),
+    pages with an empty Links array, a MALFORMED-JSON payload (both
+    engines must skip it, not abort), and a missing-URI record
+    (dropped by the shared header contract)."""
+    import json as _json
+
+    rng = np.random.RandomState(seed)
+    blobs: list[bytes] = []
+    for i in range(n_rows):
+        url = f"https://wat{i % 23}.example/p/{i}"
+        date = f"2024-04-{(i % 27) + 1:02d}T{(i % 24):02d}:30:00Z"
+        case = i % 9
+        links = []
+        n_links = int(rng.randint(0, 7))
+        for k in range(n_links):
+            t = (i + k) % 6
+            if t <= 2:  # anchor to an absolute http(s) target
+                scheme = "https" if (i + k) % 2 else "http"
+                tgt = f"{scheme}://t{(i * 7 + k) % 31}.example/q/{k}"
+                if t == 2:  # userinfo + port: host contract exercise
+                    tgt = f"https://u{k}:pw@t{(i * 7 + k) % 31}.example:8443/q"
+                links.append({"path": "A@/href", "url": tgt})
+            elif t == 3:  # relative anchor: no host, dropped
+                links.append({"path": "A@/href", "url": f"/rel/{k}"})
+            elif t == 4:  # image: wrong path kind, dropped
+                links.append(
+                    {"path": "IMG@/src",
+                     "url": f"https://img{k}.example/i.png"}
+                )
+            else:  # mailto: anchor with no http host, dropped
+                links.append({"path": "A@/href", "url": f"mailto:x{k}@m.example"})
+        meta = {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": f"Page {i % 40} title"},
+                            "Links": links,
+                        }
+                    }
+                },
+            }
+        }
+        if case == 6:  # non-html capture: no HTML-Metadata subtree
+            meta["Envelope"]["Payload-Metadata"] = {
+                "HTTP-Response-Metadata": {}
+            }
+        payload = _json.dumps(meta, separators=(",", ":"))
+        if case == 7:  # malformed JSON payload: skipped, never aborts
+            payload = payload[: max(10, len(payload) // 2)] + "{"
+        head = (
+            f"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+            f"Content-Type: application/json\r\n"
+        )
+        if case == 8:  # missing URI header: dropped
+            head = (
+                f"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Date: {date}\r\n"
+            )
+        blobs.append((head + "\r\n" + payload).encode("ascii"))
+    return pd.DataFrame({"content": blobs})
+
+
+def write_wat_parquet(path: str, n_rows: int = 500, seed: int = 5) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_wat_records(n_rows, seed)
+    pq.write_table(
+        pa.Table.from_pandas(
+            df,
+            schema=pa.schema([("content", pa.binary())]),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path
+
+
+# C4-style line-filter corpus: multi-line docs whose lines exercise
+# each rule of the C4 cleaning recipe (terminal punctuation, ≥3
+# space-separated words, no 'javascript' line; doc-level 'lorem
+# ipsum' / '{' / ≥5-sentence gates).
+_C4_ENDERS = [".", "!", "?", '"']
+_C4_BAD_LINES = [
+    "read more",                      # no terminal punctuation
+    "Ok.",                            # <3 words
+    "menu home about contact",        # nav cruft, no punctuation
+    "Please enable javascript to continue.",   # javascript line
+    "var x = 1; // javascript!",      # javascript line
+    "  ",                             # whitespace-only
+    "",                               # empty line
+    "\tindented\twith\ttabs",         # tabs are not word separators
+]
+
+
+def generate_c4_docs(n_rows: int = 400, seed: int = 13) -> pd.DataFrame:
+    """(doc_id, url, text) rows for the C4 line-filter contract."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_rows):
+        case = i % 12
+        url = f"https://c4-{i % 19}.example/d/{i}"
+        if case == 10:
+            rows.append((i, url, None))
+            continue
+        if case == 11:
+            rows.append((i, url, ""))
+            continue
+        n_lines = 4 + int(rng.randint(0, 8))
+        lines = []
+        for k in range(n_lines):
+            words = _chain("en", 4 + int(rng.randint(0, 10)), rng)
+            if rng.rand() < 0.35:  # a line failing some rule
+                lines.append(
+                    _C4_BAD_LINES[int(rng.randint(0, len(_C4_BAD_LINES)))]
+                )
+            else:
+                ender = _C4_ENDERS[int(rng.randint(0, len(_C4_ENDERS)))]
+                lines.append(" ".join(words) + ender)
+        if case == 7:  # doc-level lorem ipsum kill
+            lines.insert(
+                int(rng.randint(0, len(lines))),
+                "Lorem ipsum dolor sit amet consectetur.",
+            )
+        if case == 8:  # doc-level brace kill (code page)
+            lines.insert(
+                int(rng.randint(0, len(lines))),
+                "function f() { return 1; }",
+            )
+        if case == 9:  # too few surviving sentences
+            good = " ".join(_chain("en", 6, rng)) + "."
+            lines = [good, "read more", "Ok."]
+        rows.append((i, url, "\n".join(lines)))
+    return pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+
+
+def write_c4_docs_parquet(path: str, n_rows: int = 400, seed: int = 13) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_c4_docs(n_rows, seed)
+    pq.write_table(
+        pa.Table.from_pandas(
+            df,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("url", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path

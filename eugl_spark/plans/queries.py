@@ -5763,6 +5763,257 @@ def dedup_url_canonical(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WAT metadata ingestion (Common Crawl's JSON sidecar): link graph and
+# page index computed WITHOUT touching html — at crawl scale the WAT
+# path reads ~10× fewer bytes. Spark side: sources/wat.py (shared
+# WARC header chain + get_json_object/from_json, all JVM); oracle:
+# DuckDB's JSON extension over the same records. Registered outside
+# the round-6 window (rotation promotes them later); the local gate
+# covers them immediately.
+# ---------------------------------------------------------------------------
+
+
+def _wat_blobs_path() -> str:
+    return _entry_corpus_path("eugl_wat_blobs")
+
+
+def ensure_wat_blobs() -> str:
+    import os
+
+    from eugl_spark.corpus import write_wat_parquet
+
+    path = _wat_blobs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_wat_parquet(tmp, n_rows=500, seed=5)
+        os.replace(tmp, path)
+    return path
+
+
+_WAT_LINKS_SQL = (
+    '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"'
+    '."HTML-Metadata".Links'
+)
+_WAT_TITLE_SQL = (
+    '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"'
+    '."HTML-Metadata".Head.Title'
+)
+
+
+def _wat_parsed_cte() -> str:
+    """WITH-chain ending in ``p(url, j)``: the shared spoof-proof
+    header extraction (module regex constants verbatim) plus a
+    fault-isolated JSON decode — try_cast, so a malformed payload is
+    a null JSON, never an abort (Spark's from_json contract)."""
+    from eugl_spark.sources.warc import _BODY_RE, _HEAD_RE, _URI_RE
+
+    return f"""
+    WITH rec AS (
+      SELECT decode(content) AS r
+      FROM read_parquet('{ensure_wat_blobs()}')
+    ), h AS (
+      SELECT regexp_extract(r, '{_HEAD_RE}', 1) AS head,
+             regexp_extract(r, '{_BODY_RE}', 1) AS body
+      FROM rec
+    ), p AS (
+      SELECT nullif(regexp_extract(head, '{_URI_RE}', 1), '') AS url,
+             try_cast(body AS JSON) AS j
+      FROM h
+      WHERE nullif(regexp_extract(head, '{_URI_RE}', 1), '') IS NOT NULL
+    )"""
+
+
+def _wat_outlinks_sql() -> str:
+    from eugl_spark.functions.hosts import HOST_RE
+
+    return (
+        _wat_parsed_cte()
+        + f"""
+    , lk AS (
+      SELECT regexp_extract(url, '{HOST_RE}', 1) AS src,
+        unnest(CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[])) AS link
+      FROM p WHERE j IS NOT NULL
+    ), e AS (
+      SELECT src, regexp_extract(link ->> 'url', '{HOST_RE}', 1) AS dst
+      FROM lk WHERE link ->> 'path' = 'A@/href'
+    )
+    SELECT src AS src_host, dst AS dst_host,
+      CAST(count(*) AS BIGINT) AS n_links
+    FROM e WHERE src <> '' AND dst <> ''
+    GROUP BY src, dst
+    """
+    )
+
+
+@q(
+    "wat_outlinks",
+    _wat_outlinks_sql(),
+    "Host-level link graph from WAT sidecar metadata (Common Crawl's "
+    "JSON companion records): anchor links only, absolute http(s) "
+    "targets, THE shared host derivation — the same edge semantics "
+    "as crawl_outlinks without ever reading the html column.",
+)
+def wat_outlinks(spark, sf_dir):
+    """Scale shape mirrors link_host_edges: native JSON decode at
+    scan parallelism, explode, map-side partial agg on the slim
+    (src, dst) pair — and the input is the ~10×-smaller sidecar."""
+    from eugl_spark.sources.wat import parse_wat_records, wat_host_edges
+
+    wat = parse_wat_records(spark.read.parquet(ensure_wat_blobs()))
+    return wat_host_edges(wat).select(
+        F.col("src").alias("src_host"),
+        F.col("dst").alias("dst_host"),
+        F.col("n_links").cast("long").alias("n_links"),
+    )
+
+
+def _wat_page_index_sql() -> str:
+    return (
+        _wat_parsed_cte()
+        + f"""
+    SELECT url,
+      json_extract_string(j, '{_WAT_TITLE_SQL}') AS title,
+      CAST(coalesce(len(list_filter(
+        CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[]),
+        x -> json_extract_string(x, '$.path') = 'A@/href')), 0)
+        AS BIGINT) AS n_anchors
+    FROM p
+    """
+    )
+
+
+@q(
+    "wat_page_index",
+    _wat_page_index_sql(),
+    "Per-page index from WAT metadata: url, extracted title, anchor "
+    "outlink count. Malformed-JSON payloads and non-html captures "
+    "yield null title / 0 anchors (per-record fault isolation), "
+    "missing-URI records are dropped by the shared header contract.",
+)
+def wat_page_index(spark, sf_dir):
+    from eugl_spark.sources.wat import ANCHOR_PATH, parse_wat_records
+
+    wat = parse_wat_records(spark.read.parquet(ensure_wat_blobs()))
+    return wat.select(
+        "url",
+        "title",
+        F.coalesce(
+            F.size(
+                F.filter("links", lambda lk: lk["path"] == ANCHOR_PATH)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_anchors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the classic
+# quality-filter recipe the reference's per-granule threshold pattern
+# maps onto at line granularity): keep lines that end in terminal
+# punctuation, carry ≥3 space-separated words and don't mention
+# javascript; kill the whole doc on 'lorem ipsum', a curly brace, or
+# <5 surviving sentences. Both engines evaluate the SAME rule text —
+# no regex anchors (Java's $ matches before a trailing \r, RE2's does
+# not), just right(trim(line), 1) + translate-based sentence counts.
+# ---------------------------------------------------------------------------
+
+
+def _c4_docs_path() -> str:
+    return _entry_corpus_path("eugl_c4_docs")
+
+
+def ensure_c4_docs() -> str:
+    import os
+
+    from eugl_spark.corpus import write_c4_docs_parquet
+
+    path = _c4_docs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_c4_docs_parquet(tmp, n_rows=400, seed=13)
+        os.replace(tmp, path)
+    return path
+
+
+def _c4_line_filter_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS txt
+      FROM read_parquet('{ensure_c4_docs()}')
+    ), s AS (
+      SELECT doc_id, txt,
+        string_split(txt, chr(10)) AS all_lines,
+        list_filter(string_split(txt, chr(10)), x ->
+          right(trim(x), 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM d
+    ), t AS (
+      -- coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+      -- array_join([]) is '' — the shared contract is ''
+      SELECT doc_id, txt, all_lines, kept,
+        coalesce(array_to_string(kept, chr(10)), '') AS c4_text
+      FROM s
+    )
+    SELECT doc_id,
+      CAST(len(all_lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      CAST(length(c4_text) - length(translate(c4_text, '.!?', ''))
+           AS BIGINT) AS n_sentences,
+      CASE
+        WHEN contains(lower(txt), 'lorem ipsum') THEN 'lorem_ipsum'
+        WHEN contains(txt, '{{') THEN 'brace'
+        WHEN length(c4_text) - length(translate(c4_text, '.!?', '')) < 5
+          THEN 'too_few_sentences'
+        ELSE 'KEEP'
+      END AS c4_reason,
+      c4_text
+    FROM t
+    """
+
+
+@q(
+    "qf_c4_line_filter",
+    _c4_line_filter_sql(),
+    "C4-style line-level cleaning: per-line keep rules (terminal "
+    "punctuation, ≥3 space-separated words, no 'javascript'), "
+    "doc-level kills ('lorem ipsum', curly brace, <5 surviving "
+    "sentences), cleaned text re-joined. The line-granularity "
+    "member of the quality-filter family.",
+)
+def qf_c4_line_filter(spark, sf_dir):
+    """All-native array plan: one split, one lambda filter, one
+    array_join — per-row work at scan parallelism, zero shuffles,
+    zero Python. Sentence counting is the translate trick (strip
+    .!? and diff lengths) — identical bytes-in/bytes-out semantics
+    in both engines, no regex-anchor divergence."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.substring(F.trim(ln), -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.filter(F.split(ln, " "), lambda w: w != "")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    c4_text = F.array_join(kept, "\n")
+    n_sent = F.length(c4_text) - F.length(F.translate(c4_text, ".!?", ""))
+    return spark.read.parquet(ensure_c4_docs()).select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.when(F.lower(txt).contains("lorem ipsum"), "lorem_ipsum")
+        .when(txt.contains("{"), "brace")
+        .when(n_sent < 5, "too_few_sentences")
+        .otherwise("KEEP")
+        .alias("c4_reason"),
+        c4_text.alias("c4_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
 # contract (repo:__spark_entry__.py): every operator family's flagship —
