@@ -778,3 +778,74 @@ def write_c4_docs_parquet(path: str, n_rows: int = 400, seed: int = 13) -> str:
         path,
     )
     return path
+
+
+def generate_cdxj_lines(n_rows: int = 900, seed: int = 17) -> pd.DataFrame:
+    """Deterministic CDXJ index lines (the Common-Crawl/pywb capture
+    index format: `<SURT-key> <14-digit-ts> <JSON>` per capture).
+
+    Case mix, cycling: normal 200 text/html captures (several per
+    url — revisit dedup exercise), non-200 statuses, non-html mimes,
+    records missing optional JSON fields, a malformed JSON tail and
+    a short line (both dropped by the parse), plus offset patterns
+    that exercise fetch-plan coalescing: dense runs of adjacent
+    records in one file vs scattered singletons."""
+    import json as _json
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    # deterministic per-file offset cursors → realistic dense layout
+    cursors: dict[str, int] = {}
+    for i in range(n_rows):
+        # host×path moduli share factors on purpose: each url recurs
+        # every lcm(10,60)=60 rows → ~15 captures per url at the
+        # default size (the latest-capture dedup exercise)
+        host = f"cdx{i % 10}.example"
+        path = f"/p/{i % 60}"
+        surt = f"example,{host.split('.')[0]})" + path
+        ts = f"2024{(i % 12) + 1:02d}{(i % 27) + 1:02d}{(i % 24):02d}0000"
+        url = f"https://{host}{path}"
+        fn = f"crawl/seg{i % 7}/shard-{i % 13:05d}.warc.gz"
+        length = 400 + int(rng.randint(0, 3200))
+        # ~2/3 of records extend their file's dense run; the rest
+        # jump ahead, opening a new span (gap > the plan tolerance)
+        cur = cursors.get(fn, 0)
+        if rng.rand() < 0.35:
+            cur += 1 << 20
+        offset = cur
+        cursors[fn] = cur + length
+        case = i % 11
+        j = {
+            "url": url,
+            "mime": "text/html" if case not in (3, 4) else "application/pdf",
+            "status": "200" if case != 5 else str((301, 404, 503)[i % 3]),
+            "digest": f"sha1:{(i * 2654435761) % (1 << 40):010x}",
+            "length": str(length),
+            "offset": str(offset),
+            "filename": fn,
+        }
+        if case == 6:
+            j.pop("digest")  # optional field absent
+        line = f"{surt} {ts} {_json.dumps(j, separators=(',', ':'))}"
+        if case == 7:
+            line = line[: len(line) - 8]  # truncated JSON: dropped
+        if case == 8:
+            line = surt  # short line: dropped
+        rows.append(line)
+    return pd.DataFrame({"line": rows})
+
+
+def write_cdxj_parquet(path: str, n_rows: int = 900, seed: int = 17) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = generate_cdxj_lines(n_rows, seed)
+    pq.write_table(
+        pa.Table.from_pandas(
+            df,
+            schema=pa.schema([("line", pa.string())]),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path

@@ -6014,6 +6014,208 @@ def qf_c4_line_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Capture-index (CDXJ) family: the 100-TB entry point — select in the
+# INDEX, then read only merged byte ranges from the shards
+# (sources/cdx.py). Oracles re-derive the same contract with DuckDB
+# JSON + window functions.
+# ---------------------------------------------------------------------------
+
+
+def _cdxj_path() -> str:
+    return _entry_corpus_path("eugl_cdxj")
+
+
+def ensure_cdxj() -> str:
+    import os
+
+    from eugl_spark.corpus import write_cdxj_parquet
+
+    path = _cdxj_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_cdxj_parquet(tmp, n_rows=900, seed=17)
+        os.replace(tmp, path)
+    return path
+
+
+def _cdx_parsed_cte() -> str:
+    """WITH-chain ending in ``p(surt, ts, url, mime, status, digest,
+    length, "offset", filename)`` — the parse_cdxj contract: 3-part
+    line shape, strict whole-document JSON (try_cast, matching
+    Spark's from_json null-on-malformed), mandatory-field drop."""
+    from eugl_spark.sources.cdx import _CDXJ_RE
+
+    return f"""
+    WITH m AS (
+      SELECT
+        nullif(regexp_extract(line, '{_CDXJ_RE}', 1), '') AS surt,
+        try_strptime(regexp_extract(line, '{_CDXJ_RE}', 2),
+                     '%Y%m%d%H%M%S') AS ts,
+        try_cast(regexp_extract(line, '{_CDXJ_RE}', 3) AS JSON) AS j
+      FROM read_parquet('{ensure_cdxj()}')
+    ), p AS (
+      SELECT surt, ts,
+        json_extract_string(j, '$.url') AS url,
+        json_extract_string(j, '$.mime') AS mime,
+        try_cast(json_extract_string(j, '$.status') AS INTEGER) AS status,
+        json_extract_string(j, '$.digest') AS digest,
+        try_cast(json_extract_string(j, '$.length') AS BIGINT) AS length,
+        try_cast(json_extract_string(j, '$.offset') AS BIGINT) AS "offset",
+        json_extract_string(j, '$.filename') AS filename
+      FROM m
+      WHERE surt IS NOT NULL AND ts IS NOT NULL
+    ), pf AS (
+      SELECT * FROM p
+      WHERE url IS NOT NULL AND filename IS NOT NULL
+        AND "offset" IS NOT NULL AND length IS NOT NULL
+    )"""
+
+
+def _cdx_parse_sql() -> str:
+    return (
+        _cdx_parsed_cte()
+        + """
+    SELECT surt, CAST(epoch(ts) AS BIGINT) AS ts_epoch, url, mime,
+      status, digest, length, "offset", filename
+    FROM pf
+    """
+    )
+
+
+@q(
+    "cdx_parse",
+    _cdx_parse_sql(),
+    "CDXJ capture-index line parse (SURT key, 14-digit timestamp, "
+    "JSON payload): damaged lines / truncated JSON / missing "
+    "mandatory fields drop, numerics ANSI-safe — the entry-point "
+    "scan of every index-driven archive read.",
+)
+def cdx_parse(spark, sf_dir):
+    from eugl_spark.sources.cdx import parse_cdxj
+
+    cdx = parse_cdxj(spark.read.parquet(ensure_cdxj()))
+    return cdx.select(
+        "surt",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "url",
+        "mime",
+        "status",
+        "digest",
+        "length",
+        "offset",
+        "filename",
+    )
+
+
+def _cdx_latest_cte() -> str:
+    """Adds ``sel``: newest 200 text/html capture per url (the
+    row_number twin of the Spark side's atomic struct max_by — the
+    (ts, offset, filename) order key is unique, so both engines pick
+    the same WHOLE row)."""
+    return (
+        _cdx_parsed_cte()
+        + """
+    , rk AS (
+      SELECT url, ts, filename, "offset", length, digest,
+        row_number() OVER (PARTITION BY url
+          ORDER BY ts DESC, "offset" DESC, filename DESC) AS rn
+      FROM pf
+      WHERE mime = 'text/html' AND status = 200
+    ), sel AS (
+      SELECT url, ts, filename, "offset", length, digest
+      FROM rk WHERE rn = 1
+    )"""
+    )
+
+
+def _cdx_latest_sql() -> str:
+    return (
+        _cdx_latest_cte()
+        + """
+    SELECT url, CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+      filename, "offset", length, digest
+    FROM sel
+    """
+    )
+
+
+@q(
+    "cdx_latest_html",
+    _cdx_latest_sql(),
+    "Newest 200 text/html capture per url out of the CDXJ index — "
+    "snapshot dedup decided in the INDEX (slim rows), so the archive "
+    "itself is never scanned for superseded revisits.",
+)
+def cdx_latest_html(spark, sf_dir):
+    from eugl_spark.sources.cdx import latest_captures, parse_cdxj
+
+    sel = latest_captures(parse_cdxj(spark.read.parquet(ensure_cdxj())))
+    return sel.select(
+        "url",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "filename",
+        "offset",
+        "length",
+        "digest",
+    )
+
+
+_CDX_GAP = 65536
+
+
+def _cdx_fetch_plan_sql() -> str:
+    return (
+        _cdx_latest_cte()
+        + f"""
+    , wm AS (
+      SELECT filename, "offset", length,
+        max("offset" + length) OVER (PARTITION BY filename
+          ORDER BY "offset", length
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM sel
+    ), isl AS (
+      SELECT filename, "offset", length,
+        CASE WHEN prev_end IS NULL OR "offset" > prev_end + {_CDX_GAP}
+             THEN 1 ELSE 0 END AS ns
+      FROM wm
+    ), sp AS (
+      SELECT filename, "offset", length,
+        sum(ns) OVER (PARTITION BY filename ORDER BY "offset", length
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      FROM isl
+    )
+    SELECT filename, min("offset") AS span_start,
+      max("offset" + length) AS span_end,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(sum(length) AS BIGINT) AS record_bytes
+    FROM sp GROUP BY filename, span
+    """
+    )
+
+
+@q(
+    "cdx_fetch_plan",
+    _cdx_fetch_plan_sql(),
+    "Byte-range fetch plan from the selected captures: "
+    "gaps-and-islands over (filename, offset) coalesces records "
+    "within a 64 KiB gap tolerance into merged spans per shard — "
+    "read N coalesced ranges instead of scanning the archive.",
+)
+def cdx_fetch_plan(spark, sf_dir):
+    """One window partitioned by shard file + a groupBy on the same
+    key (exchange reused — no second shuffle); see
+    sources/cdx.py::fetch_plan for the scale shape."""
+    from eugl_spark.sources.cdx import (
+        fetch_plan,
+        latest_captures,
+        parse_cdxj,
+    )
+
+    sel = latest_captures(parse_cdxj(spark.read.parquet(ensure_cdxj())))
+    return fetch_plan(sel, gap=_CDX_GAP)
+
+
+# ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
 # contract (repo:__spark_entry__.py): every operator family's flagship —

@@ -1,0 +1,143 @@
+"""Capture-index (CDXJ) ingestion and byte-range fetch planning.
+
+At archive scale nobody scans 100 TB of WARC to find their subset:
+the capture INDEX (CDXJ — one `<SURT> <14-digit-ts> <JSON>` line per
+capture, the Common-Crawl/pywb format) is the entry point. Select
+records there, then read only the matching byte ranges from the
+shard files. This module is that front: a native line parse and a
+gaps-and-islands fetch planner that coalesces selected records into
+merged byte spans per shard — the reference's analog is its
+acquisition-listing scan choosing which granule files to open
+(/root/reference/eugl/acquisition_info.py:60-68), one level down.
+
+All-native plans: regexp field split + get_json_object (JVM,
+whole-stage codegen); the planner is one window over
+(filename, offset) — partition-parallel by shard file, which is how
+the index itself is naturally keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# <SURT-key> <exactly-14-digit-ts> <JSON object>; anything else is a
+# damaged line and drops (per-record fault isolation).
+_CDXJ_RE = r"^(\S+) (\d{14}) (\{.*\})$"
+
+
+# the JSON payload decodes ONCE via from_json (get_json_object would
+# re-parse the document per field — 7×); from_json is also strict on
+# the WHOLE document (truncated tail → null struct), matching the
+# oracle's try_cast(… AS JSON) exactly — a lenient per-field extractor
+# could recover fields from a prefix-valid damaged line and diverge
+_CDXJ_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+
+def parse_cdxj(raw: DataFrame, line_col: str = "line") -> DataFrame:
+    """raw(line: string) → (surt, ts, url, mime, status, digest,
+    length, offset, filename).
+
+    Damaged lines (no 3-part shape, unparseable timestamp, malformed
+    JSON, missing mandatory url/filename/offset/length fields) are
+    dropped, never an abort. Numeric fields try_cast (ANSI-safe)."""
+    line = F.col(line_col)
+    j = F.from_json(F.regexp_extract(line, _CDXJ_RE, 3), _CDXJ_SCHEMA)
+    out = raw.select(
+        F.nullif(F.regexp_extract(line, _CDXJ_RE, 1), F.lit("")).alias(
+            "surt"
+        ),
+        F.try_to_timestamp(
+            F.regexp_extract(line, _CDXJ_RE, 2), F.lit("yyyyMMddHHmmss")
+        ).alias("ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].try_cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].try_cast("long").alias("length"),
+        j["offset"].try_cast("long").alias("offset"),
+        j["filename"].alias("filename"),
+    )
+    return out.filter(
+        F.col("surt").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("url").isNotNull()
+        & F.col("filename").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    )
+
+
+def latest_captures(
+    cdx: DataFrame, mime: str = "text/html", status: int = 200
+) -> DataFrame:
+    """Newest qualifying capture per url → (url, ts, filename,
+    offset, length, digest). ATOMIC winner: one max_by over the whole
+    payload struct ordered by (ts, offset, filename) — the
+    dedup_url_latest recipe, so tied timestamps resolve to the same
+    WHOLE row in any engine."""
+    sel = cdx.filter(
+        (F.col("mime") == mime) & (F.col("status") == status)
+    )
+    ordk = F.struct(
+        F.col("ts"), F.col("offset"), F.col("filename")
+    )
+    win = F.max_by(
+        F.struct("ts", "filename", "offset", "length", "digest"), ordk
+    )
+    return (
+        sel.groupBy("url")
+        .agg(win.alias("_w"))
+        .select(
+            "url",
+            F.col("_w.ts").alias("ts"),
+            F.col("_w.filename").alias("filename"),
+            F.col("_w.offset").alias("offset"),
+            F.col("_w.length").alias("length"),
+            F.col("_w.digest").alias("digest"),
+        )
+    )
+
+
+def fetch_plan(captures: DataFrame, gap: int = 65536) -> DataFrame:
+    """Selected captures → merged byte spans per shard file:
+    (filename, span_start, span_end, n_records, record_bytes).
+
+    Gaps-and-islands over (filename, offset): a record opens a new
+    span when its offset exceeds the running maximum end of all
+    earlier records in the file by more than ``gap`` (ranged reads
+    tolerate small skips — one coalesced GET beats many tiny ones).
+    span_end is exclusive (max offset+length). record_bytes sums the
+    selected records only, so span_end - span_start - record_bytes
+    is the over-read the gap tolerance bought.
+
+    Scale shape: one window partitioned by filename (shard files are
+    the index's natural unit, ~10^5 of them per crawl — wide, even
+    parallelism) followed by a partial-agg groupBy on the same key;
+    no join, no second shuffle (the groupBy key is a superset of the
+    window key, so the exchange is reused)."""
+    w = Window.partitionBy("filename").orderBy("offset", "length")
+    prev_end = F.max(F.col("offset") + F.col("length")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = (
+        prev_end.isNull() | (F.col("offset") > prev_end + F.lit(gap))
+    ).cast("int")
+    span_id = F.sum(new_span).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        captures.select("filename", "offset", "length")
+        .withColumn("_span", span_id)
+        .groupBy("filename", "_span")
+        .agg(
+            F.min("offset").alias("span_start"),
+            F.max(F.col("offset") + F.col("length")).alias("span_end"),
+            F.count("*").alias("n_records"),
+            F.sum("length").alias("record_bytes"),
+        )
+        .drop("_span")
+    )
