@@ -283,6 +283,26 @@ def link_scaled_path(n_rows: int, n_hosts: int = 2000) -> str:
     return p
 
 
+def _scaled_fixture(stem: str, writer: str, n_rows: int, seed: int) -> str:
+    """Generic scaled-fixture cache (the link_scaled_path recipe):
+    keyed on import-time generator version + row count, written
+    beside-then-renamed."""
+    import tempfile
+
+    from eugl_spark import corpus
+
+    ver = corpus._SRC_VERSION
+    p = os.path.join(
+        tempfile.gettempdir(), f"eugl_{stem}_scaled_{ver}_{n_rows}.parquet"
+    )
+    if not os.path.exists(p):
+        tmp = f"{p}.{os.getpid()}.tmp"
+        getattr(corpus, writer)(tmp, n_rows=n_rows, seed=seed)
+        os.replace(tmp, p)
+        print(f"{stem}_scaled: {n_rows} rows at {p}", file=sys.stderr)
+    return p
+
+
 def main_bench() -> None:
     from eugl_spark.plans.queries import REGISTRY
     from eugl_spark.session import get_spark
@@ -467,6 +487,36 @@ def main_bench() -> None:
         )
         return len(train_bpe_merges(docs, k=256, max_words=5000))
 
+    # index-driven archive selection at scale: CDXJ parse → newest
+    # capture per url → coalesced byte-span plan (sources/cdx.py);
+    # and the WAT sidecar link graph (sources/wat.py) — both sized to
+    # the sf like the link corpus
+    cdx_scaled = _scaled_fixture(
+        "cdxj", "write_cdxj_parquet", int(200_000 * sf / 0.1), seed=19
+    )
+    wat_scaled = _scaled_fixture(
+        "wat", "write_wat_parquet", int(40_000 * sf / 0.1), seed=23
+    )
+
+    def _cdx_plan_scaled():
+        from eugl_spark.sources.cdx import (
+            fetch_plan,
+            latest_captures,
+            parse_cdxj,
+        )
+
+        sel = latest_captures(parse_cdxj(spark.read.parquet(cdx_scaled)))
+        return fetch_plan(sel).count()
+
+    def _wat_edges_scaled():
+        from eugl_spark.sources.wat import parse_wat_records, wat_host_edges
+
+        return wat_host_edges(
+            parse_wat_records(spark.read.parquet(wat_scaled))
+        ).count()
+
+    jobs.append(("cdx_plan_scaled", _cdx_plan_scaled))
+    jobs.append(("wat_edges_scaled", _wat_edges_scaled))
     jobs.append(("bpe_train_capped_k256", _bpe_capped_k256))
     jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
     jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))

@@ -514,13 +514,19 @@ def write_warc_blobs_parquet(path: str, n_rows: int, seed: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 _ROBOTS_BODIES = [
-    # 0: plain nested disallow/allow
+    # 0: plain nested disallow/allow; Sitemap ABOVE any group (the
+    # common real-world placement — group-independent per RFC 9309)
+    "Sitemap: https://r.example/sitemap.xml\n"
     "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
     # 1: agent-specific only -> no wildcard rules (fail open)
     "User-agent: OtherBot\nDisallow: /\n",
-    # 2: trailing-* stripped; mid-* and $ rules skipped
+    # 2: trailing-* stripped; mid-* and $ rules skipped; TWO sitemaps
+    # at the tail (inside the group region: rule parsers must ignore
+    # them, the sitemap extractor must find both), one of them
+    # relative — dropped (the directive requires an absolute URL)
     "User-agent: *\nDisallow: /tmp*\nDisallow: /a/*/b\nDisallow: /x$\n"
-    "Allow: /tmp/pub*\n",
+    "Allow: /tmp/pub*\n"
+    "Sitemap: https://r.example/s/pages.xml.gz\nSitemap: /rel.xml\n",
     # 3: stacked UA run + CRLF + comments + indentation
     "User-agent: Googlebot\r\nUser-agent: * # all\r\n"
     "  Disallow: /secret/ # staging\r\n\tAllow: /secret/ok\r\n",
@@ -531,9 +537,9 @@ _ROBOTS_BODIES = [
     # 6: empty Disallow + crawl-delay only -> no path rules
     "User-agent: *\nDisallow:\nCrawl-delay: 30\n",
     # 7: wildcard group AFTER an agent-specific one; 'Disallow: /*'
-    # normalizes to '/'
+    # normalizes to '/'; indented lowercase sitemap with CR ending
     "User-agent: A\nDisallow: /za/\n\nUser-agent: *\nDisallow: /*\n"
-    "Allow: /open/\n",
+    "Allow: /open/\n  sitemap: http://r.example/alt-map.xml\r\n",
 ]
 
 _ROBOTS_PATHS = [

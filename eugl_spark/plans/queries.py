@@ -6215,6 +6215,146 @@ def cdx_fetch_plan(spark, sf_dir):
     return fetch_plan(sel, gap=_CDX_GAP)
 
 
+# Sitemap discovery: the `Sitemap:` directive is group-independent
+# (RFC 9309 §2.3 — it may appear anywhere in robots.txt), so the
+# extractor is a flat line scan, deliberately OUTSIDE the group
+# parsers: absolute http(s) URLs only, any casing/indentation.
+# Explicit char class [^ \t\r\n]+ instead of \S — Java's \s includes
+# \x0B, RE2's does not (the module's standing regex-portability rule).
+_SITEMAP_RE = r"(?im)^[ \t]*sitemap:[ \t]*([^ \t\r\n]+)"
+_SITEMAP_ABS_RE = r"(?i)^https?://"
+
+
+def _sitemaps_sql() -> str:
+    rp = ensure_robots_corpus()[0]
+    return f"""
+    SELECT host, sitemap_url FROM (
+      SELECT host, unnest(regexp_extract_all(body,
+        '{_SITEMAP_RE}', 1)) AS sitemap_url
+      FROM read_parquet('{rp}')
+      WHERE body IS NOT NULL
+    ) WHERE regexp_matches(sitemap_url, '{_SITEMAP_ABS_RE}')
+    """
+
+
+@q(
+    "crawl_sitemaps",
+    _sitemaps_sql(),
+    "Sitemap discovery from robots.txt bodies (group-independent "
+    "directive, flat line scan): (host, sitemap_url) seeds for "
+    "frontier expansion; relative values dropped (the directive "
+    "requires an absolute URL).",
+)
+def crawl_sitemaps(spark, sf_dir):
+    rp = ensure_robots_corpus()[0]
+    return (
+        spark.read.parquet(rp)
+        .filter(F.col("body").isNotNull())
+        .select(
+            "host",
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("body"), F.lit(_SITEMAP_RE), F.lit(1)
+                )
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url").rlike(_SITEMAP_ABS_RE))
+    )
+
+
+# Snapshot delta: what changed between two crawls of the same space —
+# the incremental-crawl planning view (recrawl 'changed', drop 'gone',
+# discover 'added'). Sides collapse with THE atomic snapshot winner,
+# content identity is THE shared content hash (_SNAP_TIE_SQL), so a
+# url whose newest old-side and new-side snapshots carry identical
+# payload is 'unchanged' even across revisit storms.
+_DELTA_CUT = "2024-03-02 00:00:00"
+
+
+def _snapshot_delta_sql(path: str | None = None) -> str:
+    p = path or _link_corpus_path()
+    side = (
+        "SELECT url, max(warc_ts) AS ts, "
+        f"{_arg_max_row_sql(_SNAP_TIE_SQL, _SNAP_ORD_SQL)} AS ck "
+        f"FROM read_parquet('{p}') WHERE warc_ts IS NOT NULL "
+        "AND warc_ts {cmp} TIMESTAMP '" + _DELTA_CUT + "' GROUP BY url"
+    )
+    return f"""
+    WITH o AS ({side.format(cmp='<')}),
+         n AS ({side.format(cmp='>=')})
+    SELECT coalesce(o.url, n.url) AS url,
+      CASE WHEN o.url IS NULL THEN 'added'
+           WHEN n.url IS NULL THEN 'gone'
+           WHEN o.ck = n.ck THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      CAST(epoch(o.ts) AS BIGINT) AS old_ts_epoch,
+      CAST(epoch(n.ts) AS BIGINT) AS new_ts_epoch
+    FROM o FULL OUTER JOIN n ON o.url = n.url
+    """
+
+
+def snapshot_delta_from(
+    pages: DataFrame, cut: str = _DELTA_CUT
+) -> DataFrame:
+    """Library surface of crawl_snapshot_delta: (url, status ∈
+    added|gone|changed|unchanged, old/new ts). ONE scan feeds both
+    sides (the conditional-aggregation trick: each side's winner is a
+    max_by over a side-gated ordering — no self-join of the source),
+    then the full-outer shape is a single groupBy("url"): at 100 TB
+    this is one shuffle of slim (url, hash, ts) rows."""
+    tie = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("html").cast("string"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.col("lang"), F.lit("")),
+        )
+    )
+    cut_ts = F.lit(cut).cast("timestamp")
+    is_old = F.col("warc_ts") < cut_ts
+    valid = F.col("warc_ts").isNotNull()
+
+    def side_win(cond):
+        # max_by over rows of one side only: gate via when() on BOTH
+        # value and ordering — ungated rows contribute null ordering,
+        # which max_by skips
+        return F.max_by(
+            F.when(cond & valid, tie), F.when(cond & valid, _snapshot_ord())
+        )
+
+    agg = pages.groupBy("url").agg(
+        side_win(is_old).alias("old_ck"),
+        F.max(F.when(is_old & valid, F.col("warc_ts"))).alias("old_ts"),
+        side_win(~is_old).alias("new_ck"),
+        F.max(F.when(~is_old & valid, F.col("warc_ts"))).alias("new_ts"),
+    )
+    return agg.filter(
+        F.col("old_ts").isNotNull() | F.col("new_ts").isNotNull()
+    ).select(
+        "url",
+        F.when(F.col("old_ts").isNull(), "added")
+        .when(F.col("new_ts").isNull(), "gone")
+        .when(F.col("old_ck") == F.col("new_ck"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        F.unix_timestamp("old_ts").alias("old_ts_epoch"),
+        F.unix_timestamp("new_ts").alias("new_ts_epoch"),
+    )
+
+
+@q(
+    "crawl_snapshot_delta",
+    _snapshot_delta_sql(),
+    "Two-crawl delta over the snapshot history: per url "
+    "added/gone/changed/unchanged between the crawls before and "
+    "after a cut instant — the incremental-crawl planning view. "
+    "Winners per side via THE atomic snapshot ordering; content "
+    "identity via THE shared content hash.",
+)
+def crawl_snapshot_delta(spark, sf_dir):
+    return snapshot_delta_from(_link_pages(spark))
+
+
 # ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external

@@ -175,6 +175,10 @@ _BUILDERS = {
     "crawl_build_corpus": Q._crawl_corpus_sql,
     "crawl_host_quality": Q._host_quality_sql,
     "graph_components_hosts": Q._host_components_sql,
+    # every sweep row post-dates the delta cut → all non-null-ts urls
+    # 'added'; the value here is the null-url group, the all-null-ts
+    # url (excluded entirely) and the tied-content winners agreeing
+    "crawl_snapshot_delta": Q._snapshot_delta_sql,
 }
 
 

@@ -350,3 +350,61 @@ def test_fused_host_regex_equals_two_pass(spark):
     assert rows, "fuzz frame must not be empty"
     for r in rows:
         assert r["fused"] == r["classic"], (r["id"], r["fused"], r["classic"])
+
+
+def test_snapshot_delta_statuses(spark):
+    """All four delta classes on a hand corpus: gone (old only),
+    added (new only), unchanged (identical payload both sides),
+    changed (payload differs); null-ts snapshots are excluded, and a
+    revisit storm inside one side resolves via the atomic winner."""
+    from eugl_spark.plans.queries import snapshot_delta_from
+
+    OLD, NEW = datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 3)
+    rows = [
+        ("https://h.example/gone", OLD, b"<p>old</p>", None, "en"),
+        ("https://h.example/added", NEW, b"<p>new</p>", None, "en"),
+        ("https://h.example/same", OLD, b"<p>stable</p>", None, "en"),
+        ("https://h.example/same", NEW, b"<p>stable</p>", None, "en"),
+        ("https://h.example/diff", OLD, b"<p>v1</p>", None, "en"),
+        ("https://h.example/diff", NEW, b"<p>v2</p>", None, "en"),
+        # old-side revisit storm: the NEWEST old snapshot ('v1') is the
+        # comparison basis, so the url is 'unchanged' vs the new side
+        ("https://h.example/storm", datetime.datetime(2024, 3, 1, 1),
+         b"<p>earlier</p>", None, "en"),
+        ("https://h.example/storm", datetime.datetime(2024, 3, 1, 2),
+         b"<p>v1</p>", None, "en"),
+        ("https://h.example/storm", NEW, b"<p>v1</p>", None, "en"),
+        # null-ts: excluded from both sides → url absent entirely
+        ("https://h.example/nullts", None, b"<p>x</p>", None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r["status"]
+           for r in snapshot_delta_from(df).collect()}
+    assert got == {
+        "gone": "gone",
+        "added": "added",
+        "same": "unchanged",
+        "diff": "changed",
+        "storm": "unchanged",
+    }
+
+
+def test_sitemap_directive_extraction(spark):
+    """Group-independent Sitemap lines extract regardless of casing,
+    indentation, CR endings and position; relative values drop."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in REGISTRY["crawl_sitemaps"].spark(spark, "").collect()
+    }
+    assert got, "sitemap extraction found nothing"
+    urls = {u for _, u in got}
+    assert "https://r.example/sitemap.xml" in urls          # above groups
+    assert "https://r.example/s/pages.xml.gz" in urls       # tail, 2-of-2
+    assert "http://r.example/alt-map.xml" in urls           # indented+CR
+    assert "/rel.xml" not in urls                           # relative
