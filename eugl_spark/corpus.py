@@ -855,3 +855,79 @@ def write_cdxj_parquet(path: str, n_rows: int = 900, seed: int = 17) -> str:
         path,
     )
     return path
+
+
+def write_warc_archive_with_index(
+    root: str, n_files: int = 6, recs_per_file: int = 40, seed: int = 29
+) -> tuple[str, str]:
+    """Write a small WARC archive (concatenated spec-framed records,
+    Content-Length correct, '\\r\\n\\r\\n' inter-record separators)
+    PLUS its CDXJ index with TRUE byte offsets/lengths — the paired
+    fixture for index-driven ranged reads (sources/cdx.py). Offsets
+    in the index are measured while writing, exactly like a real
+    indexer, so a ranged read at (offset, length) yields the record
+    bytes sans separator. Returns (archive_dir, cdxj_parquet_path)."""
+    import json as _json
+    import os as _os
+
+    rng = np.random.RandomState(seed)
+    arch = _os.path.join(root, "archive")
+    _os.makedirs(arch, exist_ok=True)
+    lines = []
+    for f in range(n_files):
+        fn = f"seg{f % 3}/shard-{f:05d}.warc"
+        fpath = _os.path.join(arch, fn)
+        _os.makedirs(_os.path.dirname(fpath), exist_ok=True)
+        buf = bytearray()
+        for k in range(recs_per_file):
+            i = f * recs_per_file + k
+            # urls recur across files → the latest-capture selection
+            # picks a strict subset of records (the point of the index)
+            url = f"https://ar{i % 11}.example/p/{i % 30}"
+            ts14 = f"2024{(i % 12) + 1:02d}{(i % 27) + 1:02d}{(i % 24):02d}1500"
+            date = (
+                f"{ts14[:4]}-{ts14[4:6]}-{ts14[6:8]}"
+                f"T{ts14[8:10]}:{ts14[10:12]}:{ts14[12:14]}Z"
+            )
+            words = " ".join(
+                _chain("en", 25 + int(rng.randint(0, 20)), rng)
+            )
+            body = f"<html><body><p>{words}</p></body></html>"
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{body}"
+            ).encode("ascii")
+            offset = len(buf)
+            buf += rec + b"\r\n\r\n"
+            surt = f"example,ar{i % 11})/p/{i % 30}"
+            lines.append(
+                f"{surt} {ts14} "
+                + _json.dumps(
+                    {
+                        "url": url,
+                        "mime": "text/html",
+                        "status": "200",
+                        "digest": f"sha1:{i:010x}",
+                        "length": str(len(rec)),
+                        "offset": str(offset),
+                        "filename": fn,
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        with open(fpath, "wb") as fh:
+            fh.write(bytes(buf))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = _os.path.join(root, "cdxj.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"line": lines}),
+            schema=pa.schema([("line", pa.string())]),
+            preserve_index=False,
+        ),
+        idx,
+    )
+    return arch, idx

@@ -128,9 +128,67 @@ def latest_captures(
     )
 
 
-def fetch_plan(captures: DataFrame, gap: int = 65536) -> DataFrame:
+def read_ranged_records(
+    spark, captures: DataFrame, root: str, gap: int = 65536
+) -> DataFrame:
+    """Execute the index contract's read side: plan coalesced spans
+    over the selected captures (fetch_plan with per-span record
+    manifests), open each shard once per span, read span bytes, and
+    slice out EXACTLY the selected records → (content: binary) rows,
+    the shape every parse front consumes.
+
+    Slicing by the span's record manifest — not re-splitting the span
+    — is load-bearing: the gap tolerance deliberately over-reads the
+    bytes BETWEEN selected records, and on a dense shard those bytes
+    are entire NON-selected records (e.g. superseded revisits the
+    latest-capture selection just rejected); a framing re-split would
+    resurrect them. Arrow-batched mapInPandas over the slim plan
+    rows, one open+read per (file, span) — on an object store each
+    span is one ranged GET; parallelism follows the plan's natural
+    per-shard partitioning. ``root`` prefixes the index's relative
+    filenames (local dir here; mount point / fuse path on a cluster —
+    the seek+read pattern is identical). A missing or short shard
+    yields no records, never an abort (per-span fault isolation)."""
+    import os
+
+    import pandas as pd
+
+    plan = fetch_plan(captures, gap=gap, with_records=True).select(
+        "filename", "span_start", "span_end", "records"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out: list[bytes] = []
+            for fn, start, end, recs in zip(
+                pdf["filename"],
+                pdf["span_start"],
+                pdf["span_end"],
+                pdf["records"],
+            ):
+                try:
+                    with open(os.path.join(root, fn), "rb") as fh:
+                        fh.seek(int(start))
+                        blob = fh.read(int(end) - int(start))
+                except OSError:
+                    continue  # missing shard: fault-isolated
+                for rec in recs:
+                    lo = int(rec["offset"]) - int(start)
+                    hi = lo + int(rec["length"])
+                    if 0 <= lo < hi <= len(blob):  # short read: skip
+                        out.append(blob[lo:hi])
+            yield pd.DataFrame({"content": pd.Series(out, dtype=object)})
+
+    return plan.mapInPandas(gen, "content binary")
+
+
+def fetch_plan(
+    captures: DataFrame, gap: int = 65536, with_records: bool = False
+) -> DataFrame:
     """Selected captures → merged byte spans per shard file:
-    (filename, span_start, span_end, n_records, record_bytes).
+    (filename, span_start, span_end, n_records, record_bytes)
+    [+ records: array<struct<offset,length>> when ``with_records``
+    — the per-span manifest read_ranged_records slices by].
 
     Gaps-and-islands over (filename, offset): a record opens a new
     span when its offset exceeds the running maximum end of all
@@ -155,15 +213,22 @@ def fetch_plan(captures: DataFrame, gap: int = 65536) -> DataFrame:
     span_id = F.sum(new_span).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
+    aggs = [
+        F.min("offset").alias("span_start"),
+        F.max(F.col("offset") + F.col("length")).alias("span_end"),
+        F.count("*").alias("n_records"),
+        F.sum("length").alias("record_bytes"),
+    ]
+    if with_records:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "length"))
+            ).alias("records")
+        )
     return (
         captures.select("filename", "offset", "length")
         .withColumn("_span", span_id)
         .groupBy("filename", "_span")
-        .agg(
-            F.min("offset").alias("span_start"),
-            F.max(F.col("offset") + F.col("length")).alias("span_end"),
-            F.count("*").alias("n_records"),
-            F.sum("length").alias("record_bytes"),
-        )
+        .agg(*aggs)
         .drop("_span")
     )

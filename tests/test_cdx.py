@@ -139,3 +139,69 @@ def test_fetch_plan_overlapping_records(spark):
     rows = fetch_plan(caps, gap=200).collect()
     assert len(rows) == 1
     assert rows[0]["span_end"] == 1110 and rows[0]["n_records"] == 3
+
+
+def test_index_driven_ranged_read_end_to_end(spark, tmp_path):
+    """The full index contract: archive + true-offset CDXJ index →
+    latest-capture selection → coalesced fetch plan → ranged reads →
+    parse. The parsed subset must be exactly the urls the selection
+    chose, with each url's NEWEST capture body — and the ranged read
+    must not touch bytes outside the plan's spans."""
+    from eugl_spark.corpus import write_warc_archive_with_index
+    from eugl_spark.sources.cdx import read_ranged_records
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    arch, idx = write_warc_archive_with_index(str(tmp_path))
+    cdx = parse_cdxj(spark.read.parquet(idx))
+    sel = latest_captures(cdx)
+    want = {
+        (r["url"], r["filename"], r["offset"]) for r in sel.collect()
+    }
+    plan = fetch_plan(sel, gap=4096)
+    # plan sanity: spans account for exactly the selected records
+    n_sel = len(want)
+    n_span_recs = plan.agg(F.sum("n_records")).collect()[0][0]
+    assert n_span_recs == n_sel
+    # dense shard + subset selection: the gap tolerance over-reads
+    # bytes holding NON-selected records — the reader must slice by
+    # manifest, yielding exactly the selected urls (superseded
+    # revisits must NOT resurrect from the over-read)
+    pages = parse_crawl_records(
+        read_ranged_records(spark, sel, arch, gap=4096)
+    ).collect()
+    assert len(pages) == n_sel
+    got_urls = sorted(r["url"] for r in pages)
+    assert got_urls == sorted(u for u, _, _ in want)
+    # every parsed body is the NEWEST capture: cross-check one url's
+    # body against a direct slice at the selected offset
+    probe = next(iter(want))
+    sel_row = [r for r in sel.collect() if r["url"] == probe[0]][0]
+    import os
+
+    with open(os.path.join(arch, sel_row["filename"]), "rb") as fh:
+        fh.seek(sel_row["offset"])
+        rec = fh.read(sel_row["length"])
+    body = rec.split(b"\r\n\r\n", 1)[1]
+    page = [r for r in pages if r["url"] == probe[0]][0]
+    assert bytes(page["html"]) == body
+
+
+def test_ranged_read_missing_shard_fault_isolated(spark, tmp_path):
+    """A capture pointing at a missing shard yields no records and
+    no abort; other spans still read."""
+    from eugl_spark.corpus import write_warc_archive_with_index
+    from eugl_spark.sources.cdx import read_ranged_records
+
+    arch, idx = write_warc_archive_with_index(str(tmp_path))
+    sel = latest_captures(parse_cdxj(spark.read.parquet(idx)))
+    fake = spark.createDataFrame(
+        [("https://gone.example/", None, "nope/gone.warc", 0, 1000,
+          "sha1:gone")],
+        "url string, ts timestamp, filename string, offset long, "
+        "length long, digest string",
+    )
+    n_ok = read_ranged_records(spark, sel, arch).count()
+    n_mixed = read_ranged_records(
+        spark, sel.unionByName(fake.select(sel.columns)), arch
+    ).count()
+    assert n_mixed == n_ok > 0
