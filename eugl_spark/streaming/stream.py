@@ -225,3 +225,66 @@ def windowed_verdict_counts(labeled_stream: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+def stream_cdx_ingest(
+    spark: SparkSession,
+    index_dir: str,
+    archive_root: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: int = 65536,
+    host_rules=None,
+    path_rules=None,
+) -> StreamingQuery:
+    """Incremental INDEX-DRIVEN ingestion: a text-file stream over
+    arriving CDXJ index shards; per micro-batch the engine selects
+    captures, plans coalesced byte spans, ranged-reads ONLY those
+    spans from the archive, and runs the quality pipeline — the
+    archive itself is never listed, never scanned (sources/cdx.py).
+    This is how a 100-TB archive is actually consumed: index shards
+    are the arrival signal AND the read plan.
+
+    foreachBatch, not a pure streaming plan, by necessity: the fetch
+    planner is a window function (gaps-and-islands), unsupported on
+    unbounded streams — and correctly so, since a fetch plan is a
+    per-drop artifact, not a running aggregate. Contract: selection
+    (newest 200 text/html per url) applies WITHIN each index drop;
+    cross-drop revisit collapse stays a downstream concern
+    (stream_dedup_pages, or batch dedup_url_latest over the sink) —
+    same layering as the batch chain. Exactly-once per run via
+    checkpointed source offsets + AvailableNow."""
+    from eugl_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj,
+        read_ranged_records,
+    )
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    src = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 64)
+        .load(index_dir)
+    )
+
+    def _drain(batch_df, _epoch):
+        sel = latest_captures(
+            parse_cdxj(batch_df.withColumnRenamed("value", "line"))
+        )
+        pages = parse_crawl_records(
+            read_ranged_records(spark, sel, archive_root, gap=gap)
+        )
+        out = apply_pipeline(
+            pages,
+            repartition_to=0,
+            host_rules=host_rules,
+            path_rules=path_rules,
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(output_dir)
+
+    return (
+        src.writeStream.foreachBatch(_drain)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -431,3 +431,60 @@ def test_stream_policy_dims_gate_incrementally(spark, drop_dir, tmp_path):
     )
     s = sorted((u, dr or "") for u, dr in got.items())
     assert b == s
+
+
+def test_stream_cdx_ingest_incremental_and_batch_parity(spark, tmp_path):
+    """stream_cdx_ingest drains arriving CDXJ index shards through
+    selection → fetch plan → ranged reads → pipeline: (1) output rows
+    equal the batch chain on the same index lines, (2) a second run
+    after a new index shard lands processes ONLY that shard."""
+    from eugl_spark.corpus import write_warc_archive_with_index
+    from eugl_spark.pipeline import apply_pipeline
+    from eugl_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj,
+        read_ranged_records,
+    )
+    from eugl_spark.sources.warc import parse_crawl_records
+    from eugl_spark.streaming.stream import stream_cdx_ingest
+
+    arch, idx = write_warc_archive_with_index(str(tmp_path))
+    lines = [
+        r["line"] for r in spark.read.parquet(idx).collect()
+    ]
+    half = len(lines) // 2
+    drop = tmp_path / "idx_drop"
+    drop.mkdir()
+    (drop / "shard-0.cdxj").write_text("\n".join(lines[:half]) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_cdx_ingest(spark, str(drop), arch, out, ckpt)
+    q.awaitTermination(180)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    def batch_over(ls):
+        df = spark.createDataFrame([(x,) for x in ls], "line string")
+        sel = latest_captures(parse_cdxj(df))
+        return apply_pipeline(
+            parse_crawl_records(read_ranged_records(spark, sel, arch)),
+            repartition_to=0,
+        )
+
+    b1 = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in batch_over(lines[:half]).collect()
+    }
+    s1 = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert s1 == b1 and first == len(b1)
+
+    # second index shard lands: rerun processes only the new lines
+    (drop / "shard-1.cdxj").write_text("\n".join(lines[half:]) + "\n")
+    q2 = stream_cdx_ingest(spark, str(drop), arch, out, ckpt)
+    q2.awaitTermination(180)
+    total = spark.read.parquet(out).count()
+    b2 = batch_over(lines[half:])
+    assert total == first + b2.count()
