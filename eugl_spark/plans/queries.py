@@ -5800,7 +5800,7 @@ _WAT_TITLE_SQL = (
 )
 
 
-def _wat_parsed_cte() -> str:
+def _wat_parsed_cte(path: str | None = None) -> str:
     """WITH-chain ending in ``p(url, j)``: the shared spoof-proof
     header extraction (module regex constants verbatim) plus a
     fault-isolated JSON decode — try_cast, so a malformed payload is
@@ -5810,7 +5810,7 @@ def _wat_parsed_cte() -> str:
     return f"""
     WITH rec AS (
       SELECT decode(content) AS r
-      FROM read_parquet('{ensure_wat_blobs()}')
+      FROM read_parquet('{path or ensure_wat_blobs()}')
     ), h AS (
       SELECT regexp_extract(r, '{_HEAD_RE}', 1) AS head,
              regexp_extract(r, '{_BODY_RE}', 1) AS body
@@ -5823,15 +5823,15 @@ def _wat_parsed_cte() -> str:
     )"""
 
 
-def _wat_outlinks_sql() -> str:
+def _wat_outlinks_sql(path: str | None = None) -> str:
     from eugl_spark.functions.hosts import HOST_RE
 
     return (
-        _wat_parsed_cte()
+        _wat_parsed_cte(path)
         + f"""
     , lk AS (
       SELECT regexp_extract(url, '{HOST_RE}', 1) AS src,
-        unnest(CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[])) AS link
+        unnest(TRY_CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[])) AS link
       FROM p WHERE j IS NOT NULL
     ), e AS (
       SELECT src, regexp_extract(link ->> 'url', '{HOST_RE}', 1) AS dst
@@ -5867,14 +5867,14 @@ def wat_outlinks(spark, sf_dir):
     )
 
 
-def _wat_page_index_sql() -> str:
+def _wat_page_index_sql(path: str | None = None) -> str:
     return (
-        _wat_parsed_cte()
+        _wat_parsed_cte(path)
         + f"""
     SELECT url,
       json_extract_string(j, '{_WAT_TITLE_SQL}') AS title,
       CAST(coalesce(len(list_filter(
-        CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[]),
+        TRY_CAST(json_extract(j, '{_WAT_LINKS_SQL}') AS JSON[]),
         x -> json_extract_string(x, '$.path') = 'A@/href')), 0)
         AS BIGINT) AS n_anchors
     FROM p
@@ -5937,11 +5937,11 @@ def ensure_c4_docs() -> str:
     return path
 
 
-def _c4_line_filter_sql() -> str:
+def _c4_line_filter_sql(path: str | None = None) -> str:
     return f"""
     WITH d AS (
       SELECT doc_id, coalesce(text, '') AS txt
-      FROM read_parquet('{ensure_c4_docs()}')
+      FROM read_parquet('{path or ensure_c4_docs()}')
     ), s AS (
       SELECT doc_id, txt,
         string_split(txt, chr(10)) AS all_lines,
@@ -6038,7 +6038,7 @@ def ensure_cdxj() -> str:
     return path
 
 
-def _cdx_parsed_cte() -> str:
+def _cdx_parsed_cte(path: str | None = None) -> str:
     """WITH-chain ending in ``p(surt, ts, url, mime, status, digest,
     length, "offset", filename)`` — the parse_cdxj contract: 3-part
     line shape, strict whole-document JSON (try_cast, matching
@@ -6052,7 +6052,7 @@ def _cdx_parsed_cte() -> str:
         try_strptime(regexp_extract(line, '{_CDXJ_RE}', 2),
                      '%Y%m%d%H%M%S') AS ts,
         try_cast(regexp_extract(line, '{_CDXJ_RE}', 3) AS JSON) AS j
-      FROM read_parquet('{ensure_cdxj()}')
+      FROM read_parquet('{path or ensure_cdxj()}')
     ), p AS (
       SELECT surt, ts,
         json_extract_string(j, '$.url') AS url,
@@ -6067,13 +6067,13 @@ def _cdx_parsed_cte() -> str:
     ), pf AS (
       SELECT * FROM p
       WHERE url IS NOT NULL AND filename IS NOT NULL
-        AND "offset" IS NOT NULL AND length IS NOT NULL
+        AND "offset" >= 0 AND length > 0
     )"""
 
 
-def _cdx_parse_sql() -> str:
+def _cdx_parse_sql(path: str | None = None) -> str:
     return (
-        _cdx_parsed_cte()
+        _cdx_parsed_cte(path)
         + """
     SELECT surt, CAST(epoch(ts) AS BIGINT) AS ts_epoch, url, mime,
       status, digest, length, "offset", filename
@@ -6107,13 +6107,13 @@ def cdx_parse(spark, sf_dir):
     )
 
 
-def _cdx_latest_cte() -> str:
+def _cdx_latest_cte(path: str | None = None) -> str:
     """Adds ``sel``: newest 200 text/html capture per url (the
     row_number twin of the Spark side's atomic struct max_by — the
     (ts, offset, filename) order key is unique, so both engines pick
     the same WHOLE row)."""
     return (
-        _cdx_parsed_cte()
+        _cdx_parsed_cte(path)
         + """
     , rk AS (
       SELECT url, ts, filename, "offset", length, digest,
@@ -6128,9 +6128,9 @@ def _cdx_latest_cte() -> str:
     )
 
 
-def _cdx_latest_sql() -> str:
+def _cdx_latest_sql(path: str | None = None) -> str:
     return (
-        _cdx_latest_cte()
+        _cdx_latest_cte(path)
         + """
     SELECT url, CAST(epoch(ts) AS BIGINT) AS ts_epoch,
       filename, "offset", length, digest
@@ -6163,24 +6163,32 @@ def cdx_latest_html(spark, sf_dir):
 _CDX_GAP = 65536
 
 
-def _cdx_fetch_plan_sql() -> str:
+def _cdx_fetch_plan_sql(path: str | None = None) -> str:
     return (
-        _cdx_latest_cte()
+        _cdx_latest_cte(path)
         + f"""
     , wm AS (
-      SELECT filename, "offset", length,
+      -- url as the final sort key makes the ordering TOTAL: two
+      -- captures can tie on (offset, length) (e.g. two urls indexed
+      -- at the same bytes), and with a non-total order the isl→sp
+      -- re-sort gives tied rows no stable identity — the running sum
+      -- could see the ns=0 twin FIRST and split the span
+      -- nondeterministically (caught by the pathological sweep; the
+      -- Spark side computes both functions in ONE window pass over
+      -- one sort, so it was never exposed)
+      SELECT filename, "offset", length, url,
         max("offset" + length) OVER (PARTITION BY filename
-          ORDER BY "offset", length
+          ORDER BY "offset", length, url
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
       FROM sel
     ), isl AS (
-      SELECT filename, "offset", length,
+      SELECT filename, "offset", length, url,
         CASE WHEN prev_end IS NULL OR "offset" > prev_end + {_CDX_GAP}
              THEN 1 ELSE 0 END AS ns
       FROM wm
     ), sp AS (
       SELECT filename, "offset", length,
-        sum(ns) OVER (PARTITION BY filename ORDER BY "offset", length
+        sum(ns) OVER (PARTITION BY filename ORDER BY "offset", length, url
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
       FROM isl
     )

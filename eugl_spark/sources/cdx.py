@@ -92,8 +92,12 @@ def parse_cdxj(raw: DataFrame, line_col: str = "line") -> DataFrame:
     ).filter(
         F.col("url").isNotNull()
         & F.col("filename").isNotNull()
-        & F.col("offset").isNotNull()
-        & F.col("length").isNotNull()
+        # a capture is ≥1 byte at a non-negative file position —
+        # anything else is index damage (dropped, like any other
+        # malformed line); the planner/reader downstream may then
+        # assume sane ranges
+        & (F.col("offset") >= 0)
+        & (F.col("length") > 0)
     )
 
 
