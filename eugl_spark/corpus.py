@@ -931,3 +931,64 @@ def write_warc_archive_with_index(
         idx,
     )
     return arch, idx
+
+
+def generate_script_docs(n_rows: int = 240, seed: int = 31) -> pd.DataFrame:
+    """(doc_id, url, text) rows with controlled Unicode-script mixes
+    for the script-profile contract: pure Latin/Cyrillic/CJK/Arabic/
+    Hangul/Greek/Hebrew/Devanagari docs, deliberate mixtures (content
+    vs boilerplate script), digit/punctuation-only, emoji-only, empty
+    and null docs."""
+    rng = np.random.RandomState(seed)
+    samples = {
+        "latin": "the quick brown fox jumps over the lazy dog again",
+        "cyrillic": "съешь же ещё этих мягких французских булок да выпей чаю",
+        "cjk": "这是一个测试文档包含中文字符 日本語のテキストもある",
+        "arabic": "هذا نص تجريبي يحتوي على حروف عربية كثيرة هنا",
+        "hangul": "이것은 한국어 텍스트 샘플입니다 한글 문자가 많이",
+        "greek": "αυτό είναι ένα ελληνικό κείμενο με πολλά γράμματα",
+        "hebrew": "זהו טקסט בעברית עם הרבה אותיות לבדיקה כאן",
+        "devanagari": "यह एक परीक्षण दस्तावेज़ है जिसमें हिंदी अक्षर हैं",
+    }
+    keys = list(samples)
+    rows = []
+    for i in range(n_rows):
+        case = i % 14
+        url = f"https://sc{i % 13}.example/d/{i}"
+        if case < 8:  # pure single-script doc (repeated to vary length)
+            text = " ".join([samples[keys[case]]] * (1 + int(rng.randint(0, 4))))
+        elif case == 8:  # latin boilerplate around cyrillic content
+            text = ("nav menu home | " + samples["cyrillic"]
+                    + " | copyright footer")
+        elif case == 9:  # half cjk half latin
+            text = samples["cjk"] + " " + samples["latin"]
+        elif case == 10:  # digits + punctuation only
+            text = "1234567890 ... !!! ??? 42 -- (2024) [99]"
+        elif case == 11:  # emoji-only
+            text = "🎉🚀🌍 😀😃😄 🔥💧🌟"
+        elif case == 12:
+            text = ""
+        else:
+            text = None
+        rows.append((i, url, text))
+    return pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+
+
+def write_script_docs_parquet(
+    path: str, n_rows: int = 240, seed: int = 31
+) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            generate_script_docs(n_rows, seed),
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("url", pa.string()),
+                 ("text", pa.string())]
+            ),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path
