@@ -249,3 +249,23 @@ def path_verdict_frame(urls: DataFrame, robots: DataFrame) -> DataFrame:
         "url",
         (~path_denied(F.col("url"), F.col("path_rules"))).alias("allowed"),
     )
+
+
+def robots_crawl_delays(robots: DataFrame) -> DataFrame:
+    """(host, body) robots.txt frame → (host, delay_sec) dim: the raw
+    Crawl-delay of the first wildcard group (first delay line in the
+    group, like the host parser's extract), strictest (max) across
+    snapshots. Unlike parse_robots_rules — which THRESHOLDS the delay
+    into a sampling action for the quality pipeline — this surfaces
+    the number itself for fetch scheduling. O(hosts) rows,
+    broadcastable."""
+    grps = F.regexp_extract_all("body", F.lit(_GROUP_RE), F.lit(0))
+    grp = F.get(F.filter(grps, lambda g: g.rlike(_UA_STAR_LINE_RE)), F.lit(0))
+    delay = F.regexp_extract(grp, _CRAWL_DELAY_RE, 1).try_cast("int")
+    return (
+        robots.filter(F.col("body").isNotNull())
+        .select("host", delay.alias("delay_sec"))
+        .filter(F.col("delay_sec").isNotNull())
+        .groupBy("host")
+        .agg(F.max("delay_sec").alias("delay_sec"))
+    )

@@ -6363,6 +6363,82 @@ def crawl_snapshot_delta(spark, sf_dir):
     return snapshot_delta_from(_link_pages(spark))
 
 
+# Politeness schedule: Crawl-delay × frontier ordering → per-url fetch
+# offsets. The scheduling view a polite fetcher consumes: within each
+# host, urls fetch in deterministic order, the i-th no earlier than
+# (i-1)·delay seconds after the host's first. Hosts without a delay
+# default to 1s (conservative-polite).
+def _fetch_schedule_sql(
+    path: str | None = None, urls_path: str | None = None
+) -> str:
+    from eugl_spark.functions.hosts import HOST_RE
+
+    up = urls_path or _robots_corpus_paths()[1]
+    return f"""{_robots_rules_cte(path)}
+    , delays AS (
+      SELECT g.host,
+        min_by(try_cast(regexp_extract(g.line,
+          '(?i)^[ \\t]*crawl-delay:[ \\t]*([0-9]+)', 1) AS INTEGER),
+          g.i) AS delay_sec
+      FROM grouped g JOIN star_groups s
+        ON g.host = s.host AND g.gid = s.gid
+      WHERE regexp_matches(g.line, '(?i)^[ \\t]*crawl-delay:[ \\t]*[0-9]+')
+      GROUP BY g.host
+    ), u AS (
+      SELECT url, nullif(regexp_extract(url, '{HOST_RE}', 1), '') AS host
+      FROM read_parquet('{up}')
+    ), ranked AS (
+      SELECT u.url, u.host, coalesce(d.delay_sec, 1) AS delay_sec,
+        row_number() OVER (PARTITION BY u.host ORDER BY u.url)
+          AS fetch_order
+      FROM u LEFT JOIN delays d ON u.host = d.host
+      WHERE u.host IS NOT NULL
+    )
+    SELECT url, host, delay_sec,
+      CAST(fetch_order AS BIGINT) AS fetch_order,
+      CAST((fetch_order - 1) * delay_sec AS BIGINT) AS fetch_offset_sec
+    FROM ranked
+    """
+
+
+@q(
+    "crawl_fetch_schedule",
+    _fetch_schedule_sql(),
+    "Politeness schedule: per-host Crawl-delay (first wildcard-group "
+    "delay line; default 1s) × deterministic per-host url ordering → "
+    "fetch_order and fetch_offset_sec per url — the slot plan a "
+    "polite distributed fetcher consumes. Hostless urls drop.",
+)
+def crawl_fetch_schedule(spark, sf_dir):
+    """Broadcast O(hosts) delay dim onto the frontier, one window per
+    host for the ordering — the exchange is on host, the same key the
+    pipeline buckets by."""
+    from eugl_spark.functions.hosts import host_of
+    from eugl_spark.functions.robots import robots_crawl_delays
+
+    rp, up = ensure_robots_corpus()
+    delays = robots_crawl_delays(spark.read.parquet(rp))
+    urls = (
+        spark.read.parquet(up)
+        .select("url", host_of(F.col("url")).alias("host"))
+        .filter(F.col("host").isNotNull())
+    )
+    w = W.partitionBy("host").orderBy("url")
+    return (
+        urls.join(F.broadcast(delays), "host", "left")
+        .select(
+            "url",
+            "host",
+            F.coalesce("delay_sec", F.lit(1)).alias("delay_sec"),
+            F.row_number().over(w).cast("long").alias("fetch_order"),
+        )
+        .withColumn(
+            "fetch_offset_sec",
+            ((F.col("fetch_order") - 1) * F.col("delay_sec")).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unicode-script profile: which writing system a page is actually
 # written in — the signal langid models key on, surfaced as a cheap

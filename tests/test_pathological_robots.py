@@ -174,3 +174,41 @@ def test_path_verdict_on_pathological_corpus(spark, patho_robots_paths):
     assert not verdicts["https://user:pw@case.example:8443/lower/a"]
     assert verdicts["https://case.example?q=1"]
     assert verdicts["not a url"]  # malformed: fail open
+
+
+def test_fetch_schedule_on_pathological_corpus(spark, patho_robots_paths):
+    """The politeness schedule runs the same hard robots corpus
+    through both engines: delay extraction from the wildcard group
+    survives BOM/CR/comment damage (failing open to the 1s default),
+    and per-host ordering/offsets agree row for row."""
+    from eugl_spark.functions.hosts import host_of
+    from eugl_spark.functions.robots import robots_crawl_delays
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rp, up = patho_robots_paths
+    delays = robots_crawl_delays(spark.read.parquet(rp))
+    urls = (
+        spark.read.parquet(up)
+        .select("url", host_of(F.col("url")).alias("host"))
+        .filter(F.col("host").isNotNull())
+    )
+    w = W.partitionBy("host").orderBy("url")
+    got = (
+        urls.join(F.broadcast(delays), "host", "left")
+        .select(
+            "url", "host",
+            F.coalesce("delay_sec", F.lit(1)).alias("delay_sec"),
+            F.row_number().over(w).cast("long").alias("fetch_order"),
+        )
+        .withColumn(
+            "fetch_offset_sec",
+            ((F.col("fetch_order") - 1) * F.col("delay_sec")).cast("long"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.sql(Q._fetch_schedule_sql(rp, up)).df()
+    res = compare_frames(got, want)
+    assert res["values_match"], res["diff"]
+    assert len(got) > 0

@@ -478,3 +478,25 @@ def test_self_curating_capstone(spark):
     # linked host still ranked despite gating (rank is authority, not
     # permission — the corpus sampler weighs both)
     assert got["https://c.example/p4"][1] > 0
+
+
+def test_crawl_delay_extraction_for_schedule(spark):
+    """robots_crawl_delays surfaces the RAW wildcard-group delay
+    (first delay line; strictest across snapshots), independent of
+    the pipeline's sampling threshold; agent-specific-only and
+    delay-free hosts are absent (schedule defaults them to 1s)."""
+    from eugl_spark.functions.robots import robots_crawl_delays
+
+    rows = [
+        ("a.example", "User-agent: *\nCrawl-delay: 7\nDisallow: /x/\n"),
+        ("b.example", "User-agent: Other\nCrawl-delay: 99\n"),  # not *
+        ("c.example", "User-agent: *\nDisallow: /\n"),  # no delay
+        ("d.example", "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 9\n"),
+        # two snapshots: strictest (max) wins
+        ("e.example", "User-agent: *\nCrawl-delay: 3\n"),
+        ("e.example", "User-agent: *\nCrawl-delay: 11\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = {r["host"]: r["delay_sec"]
+           for r in robots_crawl_delays(df).collect()}
+    assert got == {"a.example": 7, "d.example": 2, "e.example": 11}
