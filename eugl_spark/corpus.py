@@ -892,12 +892,24 @@ def write_warc_archive_with_index(
             words = " ".join(
                 _chain("en", 25 + int(rng.randint(0, 20)), rng)
             )
-            body = f"<html><body><p>{words}</p></body></html>"
+            # REAL Common-Crawl response shape: the WARC body is a
+            # full HTTP response (status line + headers + entity) —
+            # status/mime live in the envelope, exactly where
+            # build_cdxj_index must find them; digest = sha1(entity),
+            # the indexer contract
+            entity = (
+                f"<html><body><p>{words}</p></body></html>".encode("ascii")
+            )
+            env = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(entity)}\r\n\r\n"
+            ).encode("ascii")
+            body = env + entity
             rec = (
                 f"WARC/1.0\r\nWARC-Type: response\r\n"
                 f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n{body}"
-            ).encode("ascii")
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + body
             offset = len(buf)
             buf += rec + b"\r\n\r\n"
             surt = f"example,ar{i % 11})/p/{i % 30}"
@@ -908,7 +920,8 @@ def write_warc_archive_with_index(
                         "url": url,
                         "mime": "text/html",
                         "status": "200",
-                        "digest": f"sha1:{i:010x}",
+                        "digest": "sha1:"
+                        + _hashlib.sha1(entity).hexdigest(),
                         "length": str(len(rec)),
                         "offset": str(offset),
                         "filename": fn,

@@ -101,6 +101,131 @@ def parse_cdxj(raw: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+def build_cdxj_index(
+    spark, archive_dir: str, pattern: str = "*.warc"
+) -> DataFrame:
+    """The INDEXER: WARC archive → CDXJ lines (line: string) — the
+    cc-index job that makes every other front in this module possible.
+    With this the cycle is self-hosting: archive → build_cdxj_index →
+    parse_cdxj → latest_captures → fetch_plan → read_ranged_records →
+    the same bytes back.
+
+    Per shard: the spans twin of THE exact splitter pairs each record
+    with its (offset, length) such that a ranged read reproduces the
+    record bytes (separators stripped from the end, so every record
+    is a prefix of its slice). Everything after the split is native:
+    header fields via the shared spoof-proof chain, status/mime from
+    the HTTP envelope, digest = sha1 over the entity, SURT key from
+    THE shared host derivation (simplified SURT: reversed host labels
+    + path; no port/query normalization — documented), JSON via
+    to_json over an all-string struct (CDXJ's conventional
+    string-valued numerics).
+
+    Scale shape: one mapInPandas over the many-shards axis emitting
+    slim (filename, offset, length) + record bytes, then a single
+    whole-stage-codegen projection; no shuffle at all — the index is
+    written partition-parallel, one output split per shard batch."""
+    import os
+
+    import pandas as pd
+
+    from eugl_spark.functions.hosts import HOST_RE, PATH_RE
+    from eugl_spark.sources.warc import (
+        _BODY_RE,
+        _HEAD_RE,
+        _HTTP_STATUS_RE,
+        _record_fields,
+        _split_blob_exact_spans,
+    )
+
+    root = os.path.abspath(archive_dir)
+    # recursiveFileLookup: archives nest shards under segment dirs
+    # (seg*/shard-*.warc) — the flat read_raw_drops listing would see
+    # nothing (its drop-directory callers are flat by contract)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(archive_dir)
+        .select("path", "content")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            fns, offs, lens, recs = [], [], [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                if blob is None:
+                    continue
+                fn = path
+                for pref in ("file:" + root + "/", "file:/", ""):
+                    if path.startswith(pref) and pref:
+                        fn = path[len(pref):]
+                        break
+                for off, rec in _split_blob_exact_spans(bytes(blob)):
+                    fns.append(fn)
+                    offs.append(off)
+                    lens.append(len(rec))
+                    recs.append(rec)
+            yield pd.DataFrame(
+                {
+                    "filename": pd.Series(fns, dtype=object),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "content": pd.Series(recs, dtype=object),
+                }
+            )
+
+    split = raw.mapInPandas(
+        gen, "filename string, offset long, length long, content binary"
+    )
+    url, ts, body, head = _record_fields("content")
+    http_head = F.regexp_extract(body, _HEAD_RE, 1)
+    status = F.regexp_extract(body, _HTTP_STATUS_RE, 1).try_cast("int")
+    entity = F.when(
+        status.isNotNull(), F.regexp_extract(body, _BODY_RE, 1)
+    ).otherwise(body)
+    mime = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                http_head, r"(?im)^content-type:[ \t]*([^;\r\n]+)", 1
+            )
+        ),
+        F.lit(""),
+    )
+    host = F.regexp_extract(url, HOST_RE, 1)
+    path_part = F.regexp_extract(url, PATH_RE, 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path_part == "", "/").otherwise(path_part),
+    )
+    line = F.concat_ws(
+        " ",
+        surt,
+        F.date_format(ts, "yyyyMMddHHmmss"),
+        F.to_json(
+            F.struct(
+                url.alias("url"),
+                mime.alias("mime"),
+                status.cast("string").alias("status"),
+                F.concat(
+                    F.lit("sha1:"), F.sha1(F.encode(entity, "UTF-8"))
+                ).alias("digest"),
+                F.col("length").cast("string").alias("length"),
+                F.col("offset").cast("string").alias("offset"),
+                F.col("filename").alias("filename"),
+            )
+        ),
+    )
+    return (
+        split.select(
+            url.alias("_url"), ts.alias("_ts"), line.alias("line")
+        )
+        .filter(F.col("_url").isNotNull() & F.col("_ts").isNotNull())
+        .select("line")
+    )
+
+
 def latest_captures(
     cdx: DataFrame, mime: str = "text/html", status: int = 200
 ) -> DataFrame:

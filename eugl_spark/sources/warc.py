@@ -298,9 +298,19 @@ def _split_blob_exact(b: bytes) -> list[bytes]:
     boundary instead of throwing — a corrupt file yields its parseable
     prefix/suffix records, never an ingest abort (per-row fault
     isolation, same contract as the codec layer)."""
+    return [rec for _, rec in _split_blob_exact_spans(b)]
+
+
+def _split_blob_exact_spans(b: bytes) -> list[tuple[int, bytes]]:
+    """(byte_offset, record_bytes) twin of _split_blob_exact — the
+    indexer's view: each record paired with its position in the blob,
+    such that b[offset : offset+len(record)] == record (separators are
+    stripped from the END, so the record is always a prefix of its
+    slice — exactly what a ranged read at (offset, length) must
+    reproduce)."""
     import re as _re
 
-    recs: list[bytes] = []
+    recs: list[tuple[int, bytes]] = []
     i, n = 0, len(b)
     while i < n:
         if not b.startswith(b"WARC/1.0\r\n", i):
@@ -347,11 +357,11 @@ def _split_blob_exact(b: bytes) -> list[bytes]:
                 r = r[:-4]
             elif r.endswith(b"\r\n"):
                 r = r[:-2]
-            recs.append(r)
+            recs.append((i, r))
             i = end
             continue
         end = min(he + 4 + int(m.group(1)), n)
-        recs.append(b[i:end])
+        recs.append((i, b[i:end]))
         i = end
         while b.startswith(b"\r\n", i):
             i += 2

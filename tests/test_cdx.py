@@ -181,9 +181,11 @@ def test_index_driven_ranged_read_end_to_end(spark, tmp_path):
     with open(os.path.join(arch, sel_row["filename"]), "rb") as fh:
         fh.seek(sel_row["offset"])
         rec = fh.read(sel_row["length"])
-    body = rec.split(b"\r\n\r\n", 1)[1]
+    # record = WARC block \r\n\r\n HTTP envelope \r\n\r\n entity; the
+    # parse strips both, so html must equal the ENTITY bytes
+    entity = rec.split(b"\r\n\r\n", 2)[2]
     page = [r for r in pages if r["url"] == probe[0]][0]
-    assert bytes(page["html"]) == body
+    assert bytes(page["html"]) == entity
 
 
 def test_ranged_read_missing_shard_fault_isolated(spark, tmp_path):
@@ -205,3 +207,42 @@ def test_ranged_read_missing_shard_fault_isolated(spark, tmp_path):
         spark, sel.unionByName(fake.select(sel.columns)), arch
     ).count()
     assert n_mixed == n_ok > 0
+
+
+def test_build_cdxj_index_round_trip(spark, tmp_path):
+    """The indexer reproduces the archive's own index BYTE-IDENTICAL:
+    same SURT keys, timestamps, envelope-derived status/mime, real
+    sha1 entity digests, true offsets/lengths — so the cycle
+    archive → build_cdxj_index → select → plan → ranged read is fully
+    self-hosting."""
+    from eugl_spark.corpus import write_warc_archive_with_index
+    from eugl_spark.sources.cdx import build_cdxj_index
+
+    arch, idx = write_warc_archive_with_index(str(tmp_path))
+    built = sorted(
+        r["line"] for r in build_cdxj_index(spark, arch).collect()
+    )
+    orig = sorted(r["line"] for r in spark.read.parquet(idx).collect())
+    assert built == orig and len(built) == 240
+
+
+def test_self_hosted_index_cycle(spark, tmp_path):
+    """Full circle on the BUILT index (no generator index involved):
+    index the archive, select newest captures, plan, ranged-read —
+    the record bytes that come back re-split/parse to the same urls
+    the selection chose."""
+    from eugl_spark.corpus import write_warc_archive_with_index
+    from eugl_spark.sources.cdx import (
+        build_cdxj_index,
+        read_ranged_records,
+    )
+    from eugl_spark.sources.warc import parse_crawl_records
+
+    arch, _ = write_warc_archive_with_index(str(tmp_path))
+    sel = latest_captures(parse_cdxj(build_cdxj_index(spark, arch)))
+    want_urls = sorted(r["url"] for r in sel.select("url").collect())
+    pages = parse_crawl_records(
+        read_ranged_records(spark, sel, arch)
+    ).collect()
+    assert sorted(r["url"] for r in pages) == want_urls
+    assert all(r["http_status"] == 200 for r in pages)
