@@ -1005,3 +1005,70 @@ def write_script_docs_parquet(
         path,
     )
     return path
+
+
+def generate_revisit_blobs(n_rows: int = 360, seed: int = 37) -> pd.DataFrame:
+    """WARC blobs exercising revisit resolution: ``response`` records
+    declaring a WARC-Payload-Digest, and ``revisit`` records pointing
+    at previously-captured identical content via the same digest
+    (Common Crawl's dedup-at-capture shape — ~15% of a real crawl).
+    Damage mix: revisits whose digest matches NO stored response
+    (dangling — the referenced capture is in another segment),
+    revisits missing the digest header entirely, and digest ties
+    (two responses storing the same payload — resolution must pick a
+    deterministic winner)."""
+    rng = np.random.RandomState(seed)
+    blobs: list[bytes] = []
+    for i in range(n_rows):
+        url = f"https://rv{i % 13}.example/p/{i % 45}"
+        date = f"2024-05-{(i % 27) + 1:02d}T{(i % 24):02d}:05:00Z"
+        case = i % 9
+        digest = f"sha1:{(i % 60) * 2654435761 % (1 << 36):09x}"
+        if case < 5:  # stored response with declared digest
+            words = " ".join(
+                _chain("en", 20 + int(rng.randint(0, 15)), rng)
+            )
+            entity = f"<html><body><p>{words}</p></body></html>"
+            b = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"WARC-Payload-Digest: {digest}\r\n\r\n"
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                f"{entity}"
+            )
+        elif case < 7:  # revisit of a stored digest
+            b = (
+                f"WARC/1.0\r\nWARC-Type: revisit\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"WARC-Payload-Digest: {digest}\r\n"
+                f"WARC-Refers-To-Target-URI: https://rv0.example/ref\r\n"
+                f"\r\n"
+            )
+        elif case == 7:  # dangling revisit: digest never stored here
+            b = (
+                f"WARC/1.0\r\nWARC-Type: revisit\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"WARC-Payload-Digest: sha1:ffffff{i:06x}\r\n\r\n"
+            )
+        else:  # damaged revisit: no digest header
+            b = (
+                f"WARC/1.0\r\nWARC-Type: revisit\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n\r\n"
+            )
+        blobs.append(b.encode("ascii"))
+    return pd.DataFrame({"content": blobs})
+
+
+def write_revisit_parquet(path: str, n_rows: int = 360, seed: int = 37) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            generate_revisit_blobs(n_rows, seed),
+            schema=pa.schema([("content", pa.binary())]),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path

@@ -6363,6 +6363,165 @@ def crawl_snapshot_delta(spark, sf_dir):
     return snapshot_delta_from(_link_pages(spark))
 
 
+# Revisit resolution: WARC ``revisit`` records (Common Crawl's
+# dedup-at-capture — the crawler stores a digest pointer instead of
+# re-storing identical payload; ~15% of a real crawl) resolved back
+# to the stored capture by declared WARC-Payload-Digest. The stored
+# winner per digest is the EARLIEST capture (the original), with a
+# url tie-break — deterministic in both engines.
+_PAYLOAD_DIGEST_RE = r"(?m)^WARC-Payload-Digest:[ \t]*([^ \t\r\n]+)"
+
+
+def _revisit_blobs_path() -> str:
+    return _entry_corpus_path("eugl_revisit_blobs")
+
+
+def ensure_revisit_blobs() -> str:
+    import os
+
+    from eugl_spark.corpus import write_revisit_parquet
+
+    path = _revisit_blobs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_revisit_parquet(tmp, n_rows=360, seed=37)
+        os.replace(tmp, path)
+    return path
+
+
+def _revisit_resolution_sql(path: str | None = None) -> str:
+    from eugl_spark.sources.warc import (
+        _BODY_RE,
+        _DATE_RE,
+        _HEAD_RE,
+        _TYPE_RE,
+        _URI_RE,
+    )
+
+    return f"""
+    WITH rec AS (
+      SELECT decode(content) AS r
+      FROM read_parquet('{path or ensure_revisit_blobs()}')
+    ), p AS (
+      SELECT
+        nullif(regexp_extract(regexp_extract(r, '{_HEAD_RE}', 1),
+                              '{_URI_RE}', 1), '') AS url,
+        try_strptime(regexp_extract(regexp_extract(r, '{_HEAD_RE}', 1),
+                                    '{_DATE_RE}', 1),
+                     '%Y-%m-%dT%H:%M:%SZ') AS ts,
+        lower(regexp_extract(regexp_extract(r, '{_HEAD_RE}', 1),
+                             '{_TYPE_RE}', 1)) AS rtype,
+        nullif(regexp_extract(regexp_extract(r, '{_HEAD_RE}', 1),
+                              '{_PAYLOAD_DIGEST_RE}', 1), '') AS digest,
+        regexp_extract(r, '{_BODY_RE}', 1) AS body
+      FROM rec
+    ), stored AS (
+      SELECT digest, url AS src_url,
+        CAST(epoch(ts) AS BIGINT) AS src_ts_epoch,
+        CAST(length(CASE WHEN regexp_matches(body, '^HTTP/')
+               THEN regexp_extract(body, '{_BODY_RE}', 1) ELSE body END)
+             AS BIGINT) AS src_n_chars,
+        row_number() OVER (PARTITION BY digest
+          ORDER BY coalesce(ts, TIMESTAMP '9999-01-01'), url) AS rn
+      FROM p
+      WHERE rtype = 'response' AND url IS NOT NULL AND digest IS NOT NULL
+    ), rv AS (
+      SELECT url, CAST(epoch(ts) AS BIGINT) AS ts_epoch, digest
+      FROM p WHERE rtype = 'revisit' AND url IS NOT NULL
+    )
+    SELECT rv.url, rv.ts_epoch, rv.digest,
+      (s.src_url IS NOT NULL) AS resolved,
+      s.src_url, s.src_ts_epoch, s.src_n_chars
+    FROM rv LEFT JOIN (SELECT * FROM stored WHERE rn = 1) s
+      ON rv.digest = s.digest
+    """
+
+
+@q(
+    "crawl_revisit_resolution",
+    _revisit_resolution_sql(),
+    "WARC revisit-record resolution: revisit captures (digest "
+    "pointers the crawler stores instead of duplicate payload) "
+    "joined back to the EARLIEST stored response sharing the "
+    "declared WARC-Payload-Digest; dangling and digest-less "
+    "revisits surface unresolved (resolved=false).",
+)
+def crawl_revisit_resolution(spark, sf_dir):
+    """All-native: shared header chain + one digest equi-join; the
+    stored side collapses to one row per digest map-side (min_by) —
+    at crawl scale the digest dim is the stored-payload count, and
+    the join key is already the dedup key."""
+    from eugl_spark.sources.warc import (
+        _envelope_fields,
+        _record_fields,
+        _TYPE_RE,
+    )
+
+    raw = spark.read.parquet(ensure_revisit_blobs())
+    url, ts, body, head = _record_fields("content")
+    rtype = F.lower(F.regexp_extract(head, _TYPE_RE, 1))
+    digest = F.nullif(
+        F.regexp_extract(head, _PAYLOAD_DIGEST_RE, 1), F.lit("")
+    )
+    status, entity, _flag = _envelope_fields(body, head, rtype == "response")
+    p = raw.select(
+        url.alias("url"),
+        ts.alias("ts"),
+        rtype.alias("rtype"),
+        digest.alias("digest"),
+        F.length(entity).alias("n_chars"),
+    )
+    ord_key = F.struct(
+        F.coalesce(F.col("ts"), F.lit("9999-01-01").cast("timestamp")),
+        F.col("url"),
+    )
+    stored = (
+        p.filter(
+            (F.col("rtype") == "response")
+            & F.col("url").isNotNull()
+            & F.col("digest").isNotNull()
+        )
+        .groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("url").alias("src_url"),
+                    F.unix_timestamp("ts").alias("src_ts_epoch"),
+                    F.col("n_chars").cast("long").alias("src_n_chars"),
+                ),
+                ord_key,
+            ).alias("_w")
+        )
+        .select(
+            "digest",
+            F.col("_w.src_url").alias("src_url"),
+            F.col("_w.src_ts_epoch").alias("src_ts_epoch"),
+            F.col("_w.src_n_chars").alias("src_n_chars"),
+        )
+    )
+    rv = p.filter(
+        (F.col("rtype") == "revisit") & F.col("url").isNotNull()
+    ).select(
+        "url", F.unix_timestamp("ts").alias("ts_epoch"), "digest"
+    )
+    return (
+        rv.join(
+            stored.withColumnRenamed("digest", "_sd"),
+            rv["digest"] == F.col("_sd"),
+            "left",
+        )
+        .select(
+            "url",
+            "ts_epoch",
+            "digest",
+            F.col("src_url").isNotNull().alias("resolved"),
+            "src_url",
+            "src_ts_epoch",
+            "src_n_chars",
+        )
+    )
+
+
 # Politeness schedule: Crawl-delay × frontier ordering → per-url fetch
 # offsets. The scheduling view a polite fetcher consumes: within each
 # host, urls fetch in deterministic order, the i-th no earlier than

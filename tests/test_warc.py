@@ -940,3 +940,29 @@ def test_transcode_record_charset_breadth():
         )
         out = transcode_record(rec)
         assert text in out.decode("utf-8", "replace"), charset
+
+
+def test_revisit_resolution_semantics(spark):
+    """Revisit records resolve to the EARLIEST stored capture of
+    their digest (url tie-break); dangling digests and digest-less
+    revisits stay unresolved; the digest join never matches across
+    different digests."""
+    from eugl_spark.plans.queries import REGISTRY, ensure_revisit_blobs
+
+    ensure_revisit_blobs()
+    rows = REGISTRY["crawl_revisit_resolution"].spark(spark, "").collect()
+    assert rows, "revisit fixture yielded nothing"
+    resolved = [r for r in rows if r["resolved"]]
+    dangling = [r for r in rows if not r["resolved"]]
+    assert resolved and dangling  # both classes exercised
+    # resolved rows carry a real source; unresolved carry nulls
+    assert all(
+        r["src_url"] is not None and r["src_ts_epoch"] is not None
+        for r in resolved
+    )
+    assert all(r["src_url"] is None for r in dangling)
+    # digest-less revisits exist in the fixture and are unresolved
+    assert any(r["digest"] is None for r in dangling)
+    # the winner per digest is unique: no revisit resolves to two rows
+    assert len(rows) == len({(r["url"], r["ts_epoch"], r["digest"])
+                             for r in rows})
