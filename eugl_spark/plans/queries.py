@@ -6363,6 +6363,162 @@ def crawl_snapshot_delta(spark, sf_dir):
     return snapshot_delta_from(_link_pages(spark))
 
 
+# Spam-host gate: the second-pass curation rule — a host whose docs
+# the per-document chain almost always rejects is itself evidence
+# against its few survivors (link farms, template spam), so docs from
+# hosts below a keep-rate floor (with minimum support) drop WHOLESALE.
+# Composes the capstone rollup back onto the per-doc frame: O(hosts)
+# gate dim, broadcast join, threshold decisions auditable per host.
+_HOST_GATE_MIN_DOCS = 5
+_HOST_GATE_MIN_KEEP_RATE = 0.35
+
+
+def _host_gate_sql(path: str | None = None) -> str:
+    return f"""
+    WITH corpus AS ({_crawl_corpus_sql(path)}),
+    hosts AS (
+      SELECT host, count(*) AS n_docs,
+        CAST(count(*) FILTER (WHERE reason = 'KEEP') AS DOUBLE)
+          / count(*) AS keep_rate
+      FROM corpus GROUP BY host
+    ), gate AS (
+      SELECT host,
+        (n_docs >= {_HOST_GATE_MIN_DOCS}
+         AND keep_rate < {_HOST_GATE_MIN_KEEP_RATE}) AS spam_host
+      FROM hosts
+    )
+    SELECT c.url,
+      CASE WHEN g.spam_host AND c.reason = 'KEEP' THEN 'host_gated'
+           ELSE c.reason END AS reason,
+      c.host, coalesce(g.spam_host, FALSE) AS spam_host
+    FROM corpus c LEFT JOIN gate g ON c.host = g.host
+    """
+
+
+@q(
+    "crawl_host_gate",
+    _host_gate_sql(),
+    "Spam-host gate over the crawl capstone: hosts with ≥5 docs and "
+    "keep-rate under 0.35 are condemned wholesale — their per-doc "
+    "KEEPs flip to 'host_gated' (domain-level curation: a host the "
+    "chain almost always rejects is evidence against its survivors).",
+)
+def crawl_host_gate(spark, sf_dir):
+    """ONE pass over the capstone frame feeds both the host rollup
+    and the gated output (the frame is checkpointed inside
+    crawl_corpus_from, so the rollup is a slim re-aggregation, not a
+    second source scan); the gate dim is O(hosts), broadcast."""
+    corpus = crawl_corpus_from(_link_pages(spark))
+    hosts = corpus.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.count(F.when(F.col("reason") == "KEEP", 1))
+            / F.count("*")
+        ).alias("keep_rate"),
+    )
+    gate = hosts.select(
+        "host",
+        (
+            (F.col("n_docs") >= _HOST_GATE_MIN_DOCS)
+            & (F.col("keep_rate") < _HOST_GATE_MIN_KEEP_RATE)
+        ).alias("spam_host"),
+    )
+    return corpus.join(F.broadcast(gate), "host", "left").select(
+        "url",
+        F.when(
+            F.col("spam_host") & (F.col("reason") == "KEEP"),
+            "host_gated",
+        )
+        .otherwise(F.col("reason"))
+        .alias("reason"),
+        "host",
+        F.coalesce("spam_host", F.lit(False)).alias("spam_host"),
+    )
+
+
+# Sequence-length histogram: the training-prep view — how documents
+# fill fixed context windows. Whitespace-token counts bucket into
+# power-of-two bins; cumulative token share tells packing efficiency
+# at each context size (the "what fraction of the corpus fits in 2^k
+# tokens" curve every data pipeline reports before packing).
+def _seq_len_hist_sql() -> str:
+    tok = (
+        "len(list_filter(string_split_regex(text, '[ \\t\\n]+'),"
+        " w -> w <> ''))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT {tok} AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND {tok} > 0
+    ), b AS (
+      SELECT CAST(ceil(log2(n_tokens)) AS BIGINT) AS log2_bucket,
+             n_tokens
+      FROM d
+    ), h AS (
+      SELECT log2_bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM b GROUP BY log2_bucket
+    )
+    SELECT log2_bucket, n_docs, n_tokens,
+      round(CAST(sum(n_tokens) OVER (ORDER BY log2_bucket
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / sum(n_tokens) OVER (), 6) AS cum_token_share
+    FROM h
+    """
+
+
+@q(
+    "corpus_seq_len_hist",
+    _seq_len_hist_sql(),
+    "Sequence-length histogram over documents: whitespace-token "
+    "counts in power-of-two buckets (ceil(log2)) with doc/token "
+    "counts and the cumulative token share per context size — the "
+    "packing-efficiency curve reported before training-data packing.",
+)
+def corpus_seq_len_hist(spark, sf_dir):
+    """One tokenization, one slim groupBy on the bucket id, one
+    window over ≤~20 bucket rows — the heavy axis (docs) never
+    shuffles more than (bucket, count, sum) partials."""
+    toks = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[ \t\n]+"), lambda w: w != ""
+        )
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(toks.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    h = (
+        d.select(
+            F.ceil(F.log2("n_tokens")).cast("long").alias("log2_bucket"),
+            "n_tokens",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w_cum = W.orderBy("log2_bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    return h.select(
+        "log2_bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sum("n_tokens").over(w_cum).cast("double")
+            / F.sum("n_tokens").over(w_all),
+            6,
+        ).alias("cum_token_share"),
+    )
+
+
 # Revisit resolution: WARC ``revisit`` records (Common Crawl's
 # dedup-at-capture — the crawler stores a digest pointer instead of
 # re-storing identical payload; ~15% of a real crawl) resolved back

@@ -408,3 +408,48 @@ def test_sitemap_directive_extraction(spark):
     assert "https://r.example/s/pages.xml.gz" in urls       # tail, 2-of-2
     assert "http://r.example/alt-map.xml" in urls           # indented+CR
     assert "/rel.xml" not in urls                           # relative
+
+
+def test_host_gate_semantics(spark):
+    """Spam hosts (≥5 docs, keep-rate <0.35) flip their per-doc KEEPs
+    to host_gated; non-KEEP reasons are untouched; healthy hosts pass
+    through; the gate is auditable (spam_host column)."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["crawl_host_gate"].spark(spark, "").collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    gated = [r for r in rows if r["reason"] == "host_gated"]
+    assert gated, "fixture produced no gated docs (vacuous gate)"
+    for r in gated:
+        assert r["spam_host"]
+        peers = by_host[r["host"]]
+        assert len(peers) >= 5
+        kr = sum(
+            1 for p in peers if p["reason"] in ("KEEP", "host_gated")
+        ) / len(peers)
+        assert kr < 0.35
+    # a spam host's non-KEEP reasons stay what the chain said
+    assert all(
+        r["reason"] != "KEEP" or not r["spam_host"] for r in rows
+    )
+
+
+def test_seq_len_hist_shape(spark):
+    """Buckets are ceil(log2(tokens)); cumulative share is monotone
+    and ends at exactly 1.0."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["corpus_seq_len_hist"].spark(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["log2_bucket"],
+    )
+    assert rows and rows[-1]["cum_token_share"] == 1.0
+    shares = [r["cum_token_share"] for r in rows]
+    assert shares == sorted(shares)
+    total = sum(r["n_tokens"] for r in rows)
+    assert all(0 < r["n_docs"] and 0 < r["n_tokens"] <= total for r in rows)
