@@ -515,8 +515,42 @@ def main_bench() -> None:
             parse_wat_records(spark.read.parquet(wat_scaled))
         ).count()
 
+    # C4 line filter and revisit resolution at sf-scaled row counts
+    # (the registry entries pin tiny oracle fixtures; these time the
+    # same plans at bench scale)
+    c4_scaled = _scaled_fixture(
+        "c4", "write_c4_docs_parquet", int(40_000 * sf / 0.1), seed=41
+    )
+    rv_scaled = _scaled_fixture(
+        "revisit", "write_revisit_parquet", int(100_000 * sf / 0.1), seed=43
+    )
+
+    def _c4_filter_scaled():
+        import eugl_spark.plans.queries as Q
+
+        orig = Q.ensure_c4_docs
+        Q.ensure_c4_docs = lambda: c4_scaled
+        try:
+            return REGISTRY["qf_c4_line_filter"].spark(spark, "").count()
+        finally:
+            Q.ensure_c4_docs = orig
+
+    def _revisit_scaled():
+        import eugl_spark.plans.queries as Q
+
+        orig = Q.ensure_revisit_blobs
+        Q.ensure_revisit_blobs = lambda: rv_scaled
+        try:
+            return (
+                REGISTRY["crawl_revisit_resolution"].spark(spark, "").count()
+            )
+        finally:
+            Q.ensure_revisit_blobs = orig
+
     jobs.append(("cdx_plan_scaled", _cdx_plan_scaled))
     jobs.append(("wat_edges_scaled", _wat_edges_scaled))
+    jobs.append(("c4_filter_scaled", _c4_filter_scaled))
+    jobs.append(("revisit_resolution_scaled", _revisit_scaled))
     jobs.append(("bpe_train_capped_k256", _bpe_capped_k256))
     jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
     jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))
