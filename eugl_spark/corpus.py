@@ -1072,3 +1072,141 @@ def write_revisit_parquet(path: str, n_rows: int = 360, seed: int = 37) -> str:
         path,
     )
     return path
+
+
+def _boiler_para(rng: np.random.RandomState, n_words: int,
+                 with_link: bool = False) -> str:
+    """A content paragraph; optionally one short inline anchor."""
+    words = _chain("en", n_words, rng)
+    if with_link:
+        k = int(rng.randint(1, max(2, len(words) - 2)))
+        words[k] = (
+            f'see <a href="/ref/{int(rng.randint(99))}">'
+            f"{words[k]} {words[min(k + 1, len(words) - 1)]}</a>"
+        )
+    return "<p>" + " ".join(words) + ".</p>"
+
+
+def generate_boiler_docs(n_rows: int = 320, seed: int = 23) -> pd.DataFrame:
+    """(doc_id, url, html) pages with REALISTIC block structure for the
+    boilerplate classifier: nav bars / menu lists / footers / link
+    farms (high link density), headings and short teasers ('near'
+    blocks whose fate depends on their neighbors), and genuine content
+    paragraphs — plus the damage classes (null / empty / tagless /
+    link-only / unclosed-tag / unicode / CRLF pages)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_rows):
+        case = i % 16
+        url = f"https://b{i % 23}.example/page/{i}"
+        if case == 13:
+            rows.append((i, url, None))
+            continue
+        if case == 14:
+            rows.append((i, url, ""))
+            continue
+        if case == 15:  # tagless plain text: ONE chunk, no split tag
+            rows.append(
+                (i, url, " ".join(_chain("en", 40 + int(rng.randint(60)), rng)) + ".")
+            )
+            continue
+        nav = (
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About'
+            '</a> <a href="/contact">Contact</a> &amp; <a href="/faq">FAQ'
+            "</a></div>"
+        )
+        blocks = [nav]
+        n_mid = 3 + int(rng.randint(0, 6))
+        for _ in range(n_mid):
+            kind = int(rng.randint(0, 10))
+            if kind < 4:  # real content paragraph (good)
+                blocks.append(
+                    _boiler_para(rng, 70 + int(rng.randint(0, 60)),
+                                 with_link=rng.rand() < 0.3)
+                )
+            elif kind < 6:  # short teaser (near: 30..79 chars)
+                blocks.append(
+                    "<p>" + " ".join(_chain("en", 6 + int(rng.randint(0, 4)), rng))
+                    + ".</p>"
+                )
+            elif kind == 6:  # heading (usually < 30 chars: bad)
+                blocks.append(
+                    "<h2>" + " ".join(_chain("en", 2 + int(rng.randint(0, 2)), rng))
+                    + "</h2>"
+                )
+            elif kind == 7:  # menu item list (link-dense: bad)
+                blocks.append(
+                    "".join(
+                        f'<li><a href="/m/{j}">'
+                        + " ".join(_chain("en", 2, rng))
+                        + "</a></li>"
+                        for j in range(2 + int(rng.randint(0, 4)))
+                    )
+                )
+            elif kind == 8:  # link farm div
+                blocks.append(
+                    "<div>"
+                    + " ".join(
+                        f'<a href="/t/{j}">' + " ".join(_chain("en", 2, rng)) + "</a>"
+                        for j in range(6 + int(rng.randint(0, 6)))
+                    )
+                    + "</div>"
+                )
+            else:  # UPPERCASE anchor tag (case-insensitive contract)
+                blocks.append(
+                    '<div class="promo"><A HREF="/buy">'
+                    + " ".join(_chain("en", 3, rng))
+                    + "</A></div>"
+                )
+        if case == 11:  # link-only page: nav + farms, zero content
+            blocks = [nav] + [
+                "<div>"
+                + " ".join(f'<a href="/x/{j}">link {j}</a>' for j in range(8))
+                + "</div>"
+                for _ in range(3)
+            ]
+        if case == 12:  # unicode content + CRLF between blocks
+            blocks.append(
+                "<p>café naïve résumé "
+                + " ".join(_chain("en", 75, rng))
+                + " — fin.</p>"
+            )
+        footer = (
+            '<div class="footer">© 2024 site'
+            ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'
+        )
+        blocks.append(footer)
+        if case == 10:  # unclosed tag damage: block never terminates
+            blocks.insert(1, "<p>broken block with no closing tag "
+                             + " ".join(_chain("en", 5, rng)))
+        joiner = "\r\n" if case == 12 else "\n"
+        html = (
+            f"<html><head><title>page {i}</title></head><body>"
+            + joiner.join(blocks)
+            + "</body></html>"
+        )
+        rows.append((i, url, html))
+    return pd.DataFrame(rows, columns=["doc_id", "url", "html"])
+
+
+def write_boiler_docs_parquet(
+    path: str, n_rows: int = 320, seed: int = 23
+) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            generate_boiler_docs(n_rows, seed),
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("url", pa.string()),
+                    ("html", pa.string()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path

@@ -6866,6 +6866,222 @@ def qf_script_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate block classification (jusText/Kohlschütter-style, the
+# block-granularity member of the quality-filter family; analog of the
+# reference's per-band validity mask M3 applied to page STRUCTURE
+# instead of pixels, /root/reference/eugl/fmask.py contract). The
+# WHOLE operator is per-row array lambdas — one scan, zero shuffles,
+# zero Python — so it runs at ingest parallelism on a 100-TB corpus.
+#
+# Shared cross-engine contract (identical rule text in both dialects):
+#   blocks  = html split on closing block tags (?i)</p|div|li|h1-h3>
+#   btext   = tag-strip(' ') → '&amp;'→'&' → collapse [\t\n\f\r ]+ →
+#             trim; empty blocks leave the sequence
+#   lch     = total chars of (?i)<a...>text</a> anchor text (raw)
+#   class   = bad  if len < 30 OR 3*lch > len        (link-dense/short)
+#             good if len >= 80 AND 20*lch <= 3*len  (content)
+#             near otherwise
+#   final   = near blocks PROMOTE to good iff an adjacent block's RAW
+#             class is good (parallel one-pass variant of jusText's
+#             context propagation), else demote to bad
+# All thresholds are integer arithmetic — no float ratios, so the two
+# engines can never diverge on a boundary ulp.
+# ---------------------------------------------------------------------------
+
+_BOILER_SPLIT_RE = r"(?i)</(?:p|div|li|h1|h2|h3)>"
+_BOILER_TAG_RE = r"<[^>]*>"
+_BOILER_WS_RE = r"[\t\n\f\r ]+"
+_BOILER_A_RE = r"(?i)<a[^>]*>([^<]*)</a>"
+
+
+def _boiler_docs_path() -> str:
+    return _entry_corpus_path("eugl_boiler_docs")
+
+
+def ensure_boiler_docs() -> str:
+    import os
+
+    from eugl_spark.corpus import write_boiler_docs_parquet
+
+    path = _boiler_docs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_boiler_docs_parquet(tmp, n_rows=320, seed=23)
+        os.replace(tmp, path)
+    return path
+
+
+def _boiler_blocks_sql(path: str | None = None) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(html, '') AS h
+      FROM read_parquet('{path or ensure_boiler_docs()}')
+    ), c AS (
+      SELECT doc_id,
+        regexp_split_to_array(h, '{_BOILER_SPLIT_RE}') AS chunks
+      FROM d
+    ), m AS (
+      SELECT doc_id,
+        list_transform(chunks, x -> trim(regexp_replace(
+          replace(regexp_replace(x, '{_BOILER_TAG_RE}', ' ', 'g'),
+                  '&amp;', '&'),
+          '{_BOILER_WS_RE}', ' ', 'g'))) AS bt_all,
+        list_transform(chunks, x -> len(coalesce(array_to_string(
+          regexp_extract_all(x, '{_BOILER_A_RE}', 1), ''), ''))) AS lch_all
+      FROM c
+    ), b AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(generate_series(1, len(bt_all)),
+                      i -> bt_all[i] <> ''),
+          i -> bt_all[i]) AS bt,
+        list_transform(
+          list_filter(generate_series(1, len(bt_all)),
+                      i -> bt_all[i] <> ''),
+          i -> lch_all[i]) AS lch
+      FROM m
+    ), cl AS (
+      SELECT doc_id, bt,
+        list_transform(generate_series(1, len(bt)), i ->
+          CASE WHEN len(bt[i]) < 30 OR 3 * lch[i] > len(bt[i]) THEN 'bad'
+               WHEN len(bt[i]) >= 80 AND 20 * lch[i] <= 3 * len(bt[i])
+                 THEN 'good'
+               ELSE 'near' END) AS cls
+      FROM b
+    ), fi AS (
+      -- cls[0] / cls[n+1] are NULL in DuckDB (1-based, OOB → NULL):
+      -- boundary blocks see a non-good neighbor, same as Spark's
+      -- out-of-range F.get
+      SELECT doc_id, bt, cls,
+        list_transform(generate_series(1, len(cls)), i ->
+          CASE WHEN cls[i] = 'near' THEN
+            CASE WHEN cls[i-1] = 'good' OR cls[i+1] = 'good'
+                 THEN 'good' ELSE 'bad' END
+          ELSE cls[i] END) AS fin
+      FROM cl
+    ), agg AS (
+      SELECT doc_id,
+        len(bt) AS n_blocks,
+        len(list_filter(cls, x -> x = 'good')) AS n_good_raw,
+        len(list_filter(fin, x -> x = 'good')) AS n_content,
+        coalesce(array_to_string(
+          list_transform(
+            list_filter(generate_series(1, len(fin)), i -> fin[i] = 'good'),
+            i -> bt[i]),
+          chr(10)), '') AS content_text
+      FROM fi
+    )
+    SELECT doc_id,
+      CAST(n_blocks AS BIGINT) AS n_blocks,
+      CAST(n_good_raw AS BIGINT) AS n_good_raw,
+      CAST(n_content - n_good_raw AS BIGINT) AS n_promoted,
+      CAST(n_content AS BIGINT) AS n_content,
+      CAST(len(content_text) - greatest(n_content - 1, 0)
+           AS BIGINT) AS content_chars,
+      content_text
+    FROM agg
+    """
+
+
+@q(
+    "qf_boilerplate_blocks",
+    _boiler_blocks_sql(),
+    "Boilerplate removal (jusText-style): split html into block-tag "
+    "chunks, classify each by integer length/link-density thresholds, "
+    "context-promote 'near' blocks beside good neighbors, re-join the "
+    "surviving main content. The block-granularity member of the "
+    "quality-filter family.",
+)
+def qf_boilerplate_blocks(spark, sf_dir):
+    """All-native array-lambda plan: one parquet scan → per-row
+    split/transform/filter — no explode, no window, no shuffle, no
+    Python. F.get (0-based, NULL out of range) mirrors DuckDB's 1-based
+    NULL-OOB list indexing for the neighbor lookups; sequence() is
+    guarded behind size>0 because Spark's sequence(1,0) counts DOWN."""
+    html = F.coalesce(F.col("html"), F.lit(""))
+
+    def _bt(c):
+        t = F.regexp_replace(c, _BOILER_TAG_RE, " ")
+        t = F.regexp_replace(t, "&amp;", "&")
+        return F.trim(F.regexp_replace(t, _BOILER_WS_RE, " "))
+
+    def _lch(c):
+        return F.length(
+            F.array_join(F.regexp_extract_all(c, F.lit(_BOILER_A_RE), 1), "")
+        )
+
+    df = spark.read.parquet(ensure_boiler_docs())
+    s1 = df.select(
+        "doc_id", F.split(html, _BOILER_SPLIT_RE).alias("chunks")
+    )
+    s2 = s1.select(
+        "doc_id",
+        F.transform("chunks", _bt).alias("bt_all"),
+        F.transform("chunks", _lch).alias("lch_all"),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("bt_all")),
+        lambda i: F.get("bt_all", i - 1) != F.lit(""),
+    )
+    s3 = s2.select(
+        "doc_id",
+        F.transform(keep, lambda i: F.get("bt_all", i - 1)).alias("bt"),
+        F.transform(keep, lambda i: F.get("lch_all", i - 1)).alias("lch"),
+    )
+    cls = F.zip_with(
+        "bt",
+        "lch",
+        lambda t, l: F.when(
+            (F.length(t) < 30) | (l * 3 > F.length(t)), "bad"
+        )
+        .when((F.length(t) >= 80) & (l * 20 <= F.length(t) * 3), "good")
+        .otherwise("near"),
+    )
+    s4 = s3.select("doc_id", "bt", cls.alias("cls"))
+    n = F.size("cls")
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fin = F.transform(
+        idx,
+        lambda i: F.when(
+            F.get("cls", i - 1) == "near",
+            F.when(
+                (F.get("cls", i - 2) == "good")
+                | (F.get("cls", i) == "good"),
+                "good",
+            ).otherwise("bad"),
+        ).otherwise(F.get("cls", i - 1)),
+    )
+    s5 = s4.select("doc_id", "bt", "cls", idx.alias("idx"), fin.alias("fin"))
+    content = F.transform(
+        F.filter("idx", lambda i: F.get("fin", i - 1) == F.lit("good")),
+        lambda i: F.get("bt", i - 1),
+    )
+    s6 = s5.select(
+        "doc_id",
+        F.size("bt").alias("nb"),
+        F.size(F.filter("cls", lambda c: c == F.lit("good"))).alias("ng"),
+        F.size(content).alias("nc"),
+        F.array_join(content, "\n").alias("content_text"),
+    )
+    return s6.select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("ng").cast("long").alias("n_good_raw"),
+        (F.col("nc") - F.col("ng")).cast("long").alias("n_promoted"),
+        F.col("nc").cast("long").alias("n_content"),
+        (
+            F.length("content_text")
+            - F.greatest(F.col("nc") - 1, F.lit(0))
+        )
+        .cast("long")
+        .alias("content_chars"),
+        "content_text",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
 # contract (repo:__spark_entry__.py): every operator family's flagship —
