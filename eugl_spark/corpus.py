@@ -1074,6 +1074,79 @@ def write_revisit_parquet(path: str, n_rows: int = 360, seed: int = 37) -> str:
     return path
 
 
+def generate_unicode_docs(n_rows: int = 300, seed: int = 29) -> pd.DataFrame:
+    """(doc_id, url, text) rows for the Unicode-normalization contract:
+    NFD-decomposed accents and Hangul jamo (change under NFC),
+    precomposed text (doesn't), embedded control and zero-width
+    characters, UTF-8-read-as-latin-1 mojibake (forged by the exact
+    round trip the repair kernel reverses), legitimate curly
+    punctuation that must NOT be flagged, null/empty rows."""
+    import unicodedata
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_rows):
+        case = i % 12
+        url = f"https://u{i % 17}.example/d/{i}"
+        base = " ".join(_chain("en", 12 + int(rng.randint(0, 20)), rng))
+        if case == 0:  # clean ascii
+            text = base
+        elif case == 1:  # NFD accents: recompose under NFC
+            text = unicodedata.normalize(
+                "NFD", f"café naïve résumé señor {base}"
+            )
+        elif case == 2:  # already-NFC accents: unchanged
+            text = f"café naïve résumé señor {base}"
+        elif case == 3:  # control chars sprinkled in
+            text = f"ab\x00cd\x07ef\x0bgh\x1fij\x7f {base}"
+        elif case == 4:  # zero-width junk
+            text = f"zero​width‌join‍er﻿ {base}"
+        elif case == 5:  # mojibake: curly quotes + accents round-tripped
+            text = "it’s a “café” – naïve…".encode("utf-8").decode(
+                "latin-1"
+            ) + " " + base
+        elif case == 6:  # decomposed Hangul jamo: composes under NFC
+            text = unicodedata.normalize("NFD", f"한국어 텍스트 {base}")
+        elif case == 7:
+            text = None
+        elif case == 8:
+            text = ""
+        elif case == 9:  # everything at once
+            text = unicodedata.normalize("NFD", "séance") + (
+                "\x01​ " + "déjà vu".encode("utf-8").decode("latin-1")
+                + " " + base
+            )
+        elif case == 10:  # legitimate curly punctuation: NOT mojibake
+            text = f"it’s a “quoted” phrase – fine… {base}"
+        else:  # combining mark with no precomposed form: NFC keeps it
+            text = f"q̃uixotic {base}"
+        rows.append((i, url, text))
+    return pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+
+
+def write_unicode_docs_parquet(
+    path: str, n_rows: int = 300, seed: int = 29
+) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            generate_unicode_docs(n_rows, seed),
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("url", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        path,
+    )
+    return path
+
+
 def _boiler_para(rng: np.random.RandomState, n_words: int,
                  with_link: bool = False) -> str:
     """A content paragraph; optionally one short inline anchor."""

@@ -7082,6 +7082,106 @@ def qf_boilerplate_blocks(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Unicode normalization (the codepoint-level quality gate a real crawl
+# needs before tokenization): NFC canonical composition via the
+# textnorm pandas-UDF kernel (Spark has no native normalizer) against
+# DuckDB's utf8proc nfc_normalize; control/zero-width strip and
+# mojibake signature counting are native regex in BOTH engines. One
+# scan, one Arrow boundary, zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _unicode_docs_path() -> str:
+    return _entry_corpus_path("eugl_unicode_docs")
+
+
+def ensure_unicode_docs() -> str:
+    import os
+
+    from eugl_spark.corpus import write_unicode_docs_parquet
+
+    path = _unicode_docs_path()
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_unicode_docs_parquet(tmp, n_rows=300, seed=29)
+        os.replace(tmp, path)
+    return path
+
+
+def _normalize_unicode_sql(path: str | None = None) -> str:
+    from eugl_spark.models.textnorm import CTRL_RE, MOJIBAKE_RE, ZEROSPACE_RE
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t
+      FROM read_parquet('{path or ensure_unicode_docs()}')
+    ), n AS (
+      SELECT doc_id, t, nfc_normalize(t) AS nf FROM d
+    ), s AS (
+      SELECT doc_id, t, nf,
+        regexp_replace(nf, '{CTRL_RE}', '', 'g') AS st
+      FROM n
+    ), c AS (
+      SELECT doc_id, t, nf, st,
+        regexp_replace(st, '{ZEROSPACE_RE}', '', 'g') AS cl
+      FROM s
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN nf <> t THEN 1 ELSE 0 END AS BIGINT) AS nfc_changed,
+      CAST(len(nf) - len(st) AS BIGINT) AS n_ctrl,
+      CAST(len(st) - len(cl) AS BIGINT) AS n_zw,
+      CAST(len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS BIGINT)
+        AS mojibake_hits,
+      CAST(len(cl) AS BIGINT) AS clean_len,
+      cl AS clean_text
+    FROM c
+    """
+
+
+@q(
+    "qf_normalize_unicode",
+    _normalize_unicode_sql(),
+    "Unicode normalization: NFC canonical composition (pandas-UDF "
+    "kernel vs DuckDB nfc_normalize), control-char and zero-width "
+    "strip, UTF-8-as-latin-1 mojibake signature count. The "
+    "codepoint-granularity member of the quality-filter family.",
+)
+def qf_normalize_unicode(spark, sf_dir):
+    """One scan, one Arrow boundary (the NFC kernel), everything else
+    native: strips and signature counts are JVM regex, and the counts
+    are length-differences (integer) so engines can't diverge on a
+    float. Mojibake is counted on the ORIGINAL text — normalization
+    must not hide evidence of upstream corruption."""
+    from eugl_spark.models.textnorm import (
+        CTRL_RE,
+        MOJIBAKE_RE,
+        ZEROSPACE_RE,
+        nfc_udf,
+    )
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    df = spark.read.parquet(ensure_unicode_docs()).select(
+        "doc_id", t.alias("t"), nfc_udf(t).alias("nf")
+    )
+    df = df.withColumn("st", F.regexp_replace("nf", CTRL_RE, ""))
+    df = df.withColumn("cl", F.regexp_replace("st", ZEROSPACE_RE, ""))
+    return df.select(
+        "doc_id",
+        F.when(F.col("nf") != F.col("t"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("nfc_changed"),
+        (F.length("nf") - F.length("st")).cast("long").alias("n_ctrl"),
+        (F.length("st") - F.length("cl")).cast("long").alias("n_zw"),
+        F.size(F.regexp_extract_all("t", F.lit(MOJIBAKE_RE), 0))
+        .cast("long")
+        .alias("mojibake_hits"),
+        F.length("cl").cast("long").alias("clean_len"),
+        F.col("cl").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external
 # contract (repo:__spark_entry__.py): every operator family's flagship —
