@@ -98,6 +98,32 @@ def corpus_path(sf: float) -> str:
     return path
 
 
+def _force(df) -> int:
+    """Evaluate EVERY output cell of a plan and return its row count.
+
+    .count() is NOT an honest bench sink: Catalyst prunes columns the
+    count doesn't need, so a projection-only plan (qf_scrub, the C4
+    line filter, parse_crawl_records…) collapses to a bare scan —
+    measured 12× under-report on the sf-scaled C4 row (0.13s counted
+    vs 1.6s evaluated) — and even a groupBy().agg() plan drops the
+    aggregate expressions, counting only the grouping keys. One
+    count+bit_xor(xxhash64(*cols)) aggregate forces every cell in a
+    single pass (bit_xor, not sum: ANSI mode overflows on summed
+    hashes). Falls back to count() for output types xxhash64 can't
+    hash (none in the registry today)."""
+    from pyspark.sql import functions as F
+
+    try:
+        return int(
+            df.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).collect()[0]["n"]
+        )
+    except Exception:
+        return df.count()
+
+
 def run_pipeline_once(spark, pages_path: str) -> int:
     """Force full pipeline evaluation; returns n_docs processed."""
     from pyspark.sql import functions as F
@@ -340,7 +366,7 @@ def main_bench() -> None:
         jobs.append(
             (
                 name,
-                lambda q=REGISTRY[name].spark: q(spark, SF_DIR).count(),
+                lambda q=REGISTRY[name].spark: _force(q(spark, SF_DIR)),
             )
         )
     # paragraph dedup over the SCALED pages corpus (the registry entry
@@ -356,7 +382,7 @@ def main_bench() -> None:
             .filter(F.col("text").isNotNull())
             .select("url", "text")
         )
-        return dedup_paragraphs_from(pg).count()
+        return _force(dedup_paragraphs_from(pg))
 
     jobs.append(("dedup_paragraphs_scaled", _para_scaled))
 
@@ -370,7 +396,7 @@ def main_bench() -> None:
         from eugl_spark.sources.warc import parse_crawl_records
 
         raw = read_raw_drops(spark, warc_dir, "*.warc")
-        return parse_crawl_records(split_fn(raw)).count()
+        return _force(parse_crawl_records(split_fn(raw)))
 
     def _ingest_native():
         from eugl_spark.sources.warc import split_warc_records
@@ -394,7 +420,7 @@ def main_bench() -> None:
         )
 
         raw = read_raw_drops(spark, warc_gz_dir, "*.warc.gz")
-        return parse_crawl_records(split_warc_records_exact(raw)).count()
+        return _force(parse_crawl_records(split_warc_records_exact(raw)))
 
     # mixed-drop front: plain + gz shards in one directory through
     # read_warc_drops (glob routing at the listing — one read/file)
@@ -424,9 +450,9 @@ def main_bench() -> None:
             read_warc_drops,
         )
 
-        return parse_crawl_records(
-            read_warc_drops(spark, mixed_dir)
-        ).count()
+        return _force(
+            parse_crawl_records(read_warc_drops(spark, mixed_dir))
+        )
 
     jobs.append(("warc_ingest_native", _ingest_native))
     jobs.append(("warc_ingest_exact", _ingest_exact))
@@ -446,29 +472,27 @@ def main_bench() -> None:
 
         pg = spark.read.parquet(link_scaled)
         edges = link_host_edges(pg).withColumnRenamed("n_links", "w")
-        return pagerank(edges, iters=3).count()
+        return _force(pagerank(edges, iters=3))
 
     def _snapshot_collapse_scaled():
         from pyspark.sql import functions as F
 
         pg = spark.read.parquet(link_scaled)
-        return (
-            pg.groupBy("url")
-            .agg(
+        return _force(
+            pg.groupBy("url").agg(
                 F.max("warc_ts").alias("last_ts"),
                 F.count("*").alias("n_snapshots"),
                 F.max_by(
                     F.length(F.col("html").cast("string")), "warc_ts"
                 ).alias("last_html_len"),
             )
-            .count()
         )
 
     def _crawl_capstone_scaled():
         from eugl_spark.plans.queries import crawl_corpus_from
 
         pg = spark.read.parquet(link_scaled)
-        return crawl_corpus_from(pg, repartition_to=CPUS).count()
+        return _force(crawl_corpus_from(pg, repartition_to=CPUS))
 
     # vocabulary-scale BPE over the REAL sf documents table: the
     # capped-frame path (deterministic top-N word frame collected
@@ -506,14 +530,14 @@ def main_bench() -> None:
         )
 
         sel = latest_captures(parse_cdxj(spark.read.parquet(cdx_scaled)))
-        return fetch_plan(sel).count()
+        return _force(fetch_plan(sel))
 
     def _wat_edges_scaled():
         from eugl_spark.sources.wat import parse_wat_records, wat_host_edges
 
-        return wat_host_edges(
-            parse_wat_records(spark.read.parquet(wat_scaled))
-        ).count()
+        return _force(
+            wat_host_edges(parse_wat_records(spark.read.parquet(wat_scaled)))
+        )
 
     # C4 line filter and revisit resolution at sf-scaled row counts
     # (the registry entries pin tiny oracle fixtures; these time the
@@ -531,7 +555,7 @@ def main_bench() -> None:
         orig = Q.ensure_c4_docs
         Q.ensure_c4_docs = lambda: c4_scaled
         try:
-            return REGISTRY["qf_c4_line_filter"].spark(spark, "").count()
+            return _force(REGISTRY["qf_c4_line_filter"].spark(spark, ""))
         finally:
             Q.ensure_c4_docs = orig
 
@@ -541,12 +565,44 @@ def main_bench() -> None:
         orig = Q.ensure_revisit_blobs
         Q.ensure_revisit_blobs = lambda: rv_scaled
         try:
-            return (
-                REGISTRY["crawl_revisit_resolution"].spark(spark, "").count()
+            return _force(
+                REGISTRY["crawl_revisit_resolution"].spark(spark, "")
             )
         finally:
             Q.ensure_revisit_blobs = orig
 
+    # round-6 additions: boilerplate block classification and unicode
+    # normalization (NFC pandas-UDF kernel) at sf-scaled row counts
+    boiler_scaled = _scaled_fixture(
+        "boiler", "write_boiler_docs_parquet", int(20_000 * sf / 0.1), seed=47
+    )
+    uni_scaled = _scaled_fixture(
+        "unicode", "write_unicode_docs_parquet", int(60_000 * sf / 0.1),
+        seed=53,
+    )
+
+    def _boiler_scaled():
+        import eugl_spark.plans.queries as Q
+
+        orig = Q.ensure_boiler_docs
+        Q.ensure_boiler_docs = lambda: boiler_scaled
+        try:
+            return _force(REGISTRY["qf_boilerplate_blocks"].spark(spark, ""))
+        finally:
+            Q.ensure_boiler_docs = orig
+
+    def _normalize_scaled():
+        import eugl_spark.plans.queries as Q
+
+        orig = Q.ensure_unicode_docs
+        Q.ensure_unicode_docs = lambda: uni_scaled
+        try:
+            return _force(REGISTRY["qf_normalize_unicode"].spark(spark, ""))
+        finally:
+            Q.ensure_unicode_docs = orig
+
+    jobs.append(("boiler_blocks_scaled", _boiler_scaled))
+    jobs.append(("normalize_unicode_scaled", _normalize_scaled))
     jobs.append(("cdx_plan_scaled", _cdx_plan_scaled))
     jobs.append(("wat_edges_scaled", _wat_edges_scaled))
     jobs.append(("c4_filter_scaled", _c4_filter_scaled))
@@ -558,13 +614,13 @@ def main_bench() -> None:
     jobs.append(
         (
             "corpus_build_train_sf03",
-            lambda: REGISTRY["corpus_build_train"].spark(spark, cap3).count(),
+            lambda: _force(REGISTRY["corpus_build_train"].spark(spark, cap3)),
         )
     )
     jobs.append(
         (
             "corpus_build_train_sf1",
-            lambda: REGISTRY["corpus_build_train"].spark(spark, cap10).count(),
+            lambda: _force(REGISTRY["corpus_build_train"].spark(spark, cap10)),
         )
     )
     # second headline slot at the sweep's far end (see the list head)
@@ -621,6 +677,11 @@ def main_bench() -> None:
         "pipeline_docs_per_sec": docs_per_sec,
         "pipeline_warm_first_run_sec": round(warm, 3),
         "cores": CPUS,
+        # round 6: the per-query sink changed from .count() to a
+        # full-evaluation hash aggregate (_force) — projection-only
+        # and agg-expression work is now actually timed, so affected
+        # rows read HIGHER than r5 by construction, not regression
+        "sink": "count+bit_xor(xxhash64(*cols)) full evaluation",
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/latest_full.json", "w") as f:
