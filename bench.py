@@ -601,7 +601,18 @@ def main_bench() -> None:
         finally:
             Q.ensure_unicode_docs = orig
 
+    def _clean_corpus_scaled():
+        import eugl_spark.plans.queries as Q
+
+        orig = Q.ensure_boiler_docs
+        Q.ensure_boiler_docs = lambda: boiler_scaled
+        try:
+            return _force(REGISTRY["qf_clean_corpus"].spark(spark, ""))
+        finally:
+            Q.ensure_boiler_docs = orig
+
     jobs.append(("boiler_blocks_scaled", _boiler_scaled))
+    jobs.append(("clean_corpus_scaled", _clean_corpus_scaled))
     jobs.append(("normalize_unicode_scaled", _normalize_scaled))
     jobs.append(("cdx_plan_scaled", _cdx_plan_scaled))
     jobs.append(("wat_edges_scaled", _wat_edges_scaled))

@@ -1244,6 +1244,18 @@ def generate_boiler_docs(n_rows: int = 320, seed: int = 23) -> pd.DataFrame:
                 + " ".join(_chain("en", 75, rng))
                 + " — fin.</p>"
             )
+        if case == 8:  # boilerplate-free lorem page (doc-level kill)
+            blocks.append(
+                "<p>Lorem ipsum dolor sit amet consectetur "
+                + " ".join(_chain("en", 70, rng))
+                + ".</p>"
+            )
+        if case == 9:  # code block: braces survive into the content
+            blocks.append(
+                "<p>function render() { return "
+                + " ".join(_chain("en", 70, rng))
+                + "; }.</p>"
+            )
         footer = (
             '<div class="footer">© 2024 site'
             ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'

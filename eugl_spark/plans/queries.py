@@ -6911,7 +6911,11 @@ def ensure_boiler_docs() -> str:
     return path
 
 
-def _boiler_blocks_sql(path: str | None = None) -> str:
+def _boiler_cte(path: str | None = None) -> str:
+    """WITH-chain ending in ``agg(doc_id, n_blocks, n_good_raw,
+    n_content, content_text)`` — the whole block-classification
+    contract, shared by the standalone query and the clean-corpus
+    composition capstone."""
     return f"""
     WITH d AS (
       SELECT doc_id, coalesce(html, '') AS h
@@ -6970,7 +6974,13 @@ def _boiler_blocks_sql(path: str | None = None) -> str:
             i -> bt[i]),
           chr(10)), '') AS content_text
       FROM fi
-    )
+    )"""
+
+
+def _boiler_blocks_sql(path: str | None = None) -> str:
+    return (
+        _boiler_cte(path)
+        + """
     SELECT doc_id,
       CAST(n_blocks AS BIGINT) AS n_blocks,
       CAST(n_good_raw AS BIGINT) AS n_good_raw,
@@ -6981,6 +6991,7 @@ def _boiler_blocks_sql(path: str | None = None) -> str:
       content_text
     FROM agg
     """
+    )
 
 
 @q(
@@ -6995,9 +7006,32 @@ def _boiler_blocks_sql(path: str | None = None) -> str:
 def qf_boilerplate_blocks(spark, sf_dir):
     """All-native array-lambda plan: one parquet scan → per-row
     split/transform/filter — no explode, no window, no shuffle, no
-    Python. F.get (0-based, NULL out of range) mirrors DuckDB's 1-based
-    NULL-OOB list indexing for the neighbor lookups; sequence() is
-    guarded behind size>0 because Spark's sequence(1,0) counts DOWN."""
+    Python."""
+    s6 = boiler_content_frame(spark.read.parquet(ensure_boiler_docs()))
+    return s6.select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("ng").cast("long").alias("n_good_raw"),
+        (F.col("nc") - F.col("ng")).cast("long").alias("n_promoted"),
+        F.col("nc").cast("long").alias("n_content"),
+        (
+            F.length("content_text")
+            - F.greatest(F.col("nc") - 1, F.lit(0))
+        )
+        .cast("long")
+        .alias("content_chars"),
+        "content_text",
+    )
+
+
+def boiler_content_frame(df: DataFrame) -> DataFrame:
+    """The block-classification chain as a reusable frame: (doc_id,
+    nb=blocks, ng=raw good, nc=final content, content_text). Pure
+    per-row array lambdas — composable ahead of any downstream text
+    stage at scan parallelism. F.get (0-based, NULL out of range)
+    mirrors DuckDB's 1-based NULL-OOB list indexing for the neighbor
+    lookups; sequence() is guarded behind size>0 because Spark's
+    sequence(1,0) counts DOWN."""
     html = F.coalesce(F.col("html"), F.lit(""))
 
     def _bt(c):
@@ -7010,7 +7044,6 @@ def qf_boilerplate_blocks(spark, sf_dir):
             F.array_join(F.regexp_extract_all(c, F.lit(_BOILER_A_RE), 1), "")
         )
 
-    df = spark.read.parquet(ensure_boiler_docs())
     s1 = df.select(
         "doc_id", F.split(html, _BOILER_SPLIT_RE).alias("chunks")
     )
@@ -7058,26 +7091,12 @@ def qf_boilerplate_blocks(spark, sf_dir):
         F.filter("idx", lambda i: F.get("fin", i - 1) == F.lit("good")),
         lambda i: F.get("bt", i - 1),
     )
-    s6 = s5.select(
+    return s5.select(
         "doc_id",
         F.size("bt").alias("nb"),
         F.size(F.filter("cls", lambda c: c == F.lit("good"))).alias("ng"),
         F.size(content).alias("nc"),
         F.array_join(content, "\n").alias("content_text"),
-    )
-    return s6.select(
-        "doc_id",
-        F.col("nb").cast("long").alias("n_blocks"),
-        F.col("ng").cast("long").alias("n_good_raw"),
-        (F.col("nc") - F.col("ng")).cast("long").alias("n_promoted"),
-        F.col("nc").cast("long").alias("n_content"),
-        (
-            F.length("content_text")
-            - F.greatest(F.col("nc") - 1, F.lit(0))
-        )
-        .cast("long")
-        .alias("content_chars"),
-        "content_text",
     )
 
 
@@ -7178,6 +7197,113 @@ def qf_normalize_unicode(spark, sf_dir):
         .alias("mojibake_hits"),
         F.length("cl").cast("long").alias("clean_len"),
         F.col("cl").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clean-corpus capstone: the three text-hygiene stages of this round
+# COMPOSED — boilerplate block extraction → NFC normalization +
+# junk-char strip → C4 line filter + doc gates — html in, training
+# text out. One scan, one Arrow boundary (the NFC kernel), everything
+# else per-row native; the oracle composes the same three SQL
+# contracts verbatim, so a shape change in any stage breaks this
+# capstone's hash too (the corpus_build_train precedent).
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_sql(path: str | None = None) -> str:
+    from eugl_spark.models.textnorm import CTRL_RE, ZEROSPACE_RE
+
+    return (
+        _boiler_cte(path)
+        + f"""
+    , nrm AS (
+      SELECT doc_id, n_content, nfc_normalize(content_text) AS nf
+      FROM agg
+    ), st AS (
+      SELECT doc_id, n_content,
+        regexp_replace(regexp_replace(nf, '{CTRL_RE}', '', 'g'),
+                       '{ZEROSPACE_RE}', '', 'g') AS cl
+      FROM nrm
+    ), li AS (
+      SELECT doc_id, n_content, cl,
+        list_filter(string_split(cl, chr(10)), x ->
+          right(trim(x), 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM st
+    ), tx AS (
+      SELECT doc_id, n_content, cl, kept,
+        coalesce(array_to_string(kept, chr(10)), '') AS c4
+      FROM li
+    )
+    SELECT doc_id,
+      CAST(n_content AS BIGINT) AS n_content,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      CAST(length(c4) - length(translate(c4, '.!?', ''))
+           AS BIGINT) AS n_sentences,
+      CASE WHEN n_content = 0 THEN 'no_content'
+           WHEN contains(lower(cl), 'lorem ipsum') THEN 'lorem_ipsum'
+           WHEN contains(cl, '{{') THEN 'brace'
+           WHEN length(c4) - length(translate(c4, '.!?', '')) < 2
+             THEN 'too_few_sentences'
+           ELSE 'KEEP' END AS clean_reason,
+      CAST(length(c4) AS BIGINT) AS clean_chars,
+      c4 AS clean_text
+    FROM tx
+    """
+    )
+
+
+@q(
+    "qf_clean_corpus",
+    _clean_corpus_sql(),
+    "Clean-corpus capstone: boilerplate block extraction → NFC "
+    "normalization + control/zero-width strip → C4 line filter + "
+    "doc-level gates, composed html-to-training-text. The "
+    "quality-filter family's end-to-end text-hygiene chain.",
+)
+def qf_clean_corpus(spark, sf_dir):
+    """Composition of boiler_content_frame + the textnorm kernel + the
+    C4 line rules — one scan, one Arrow boundary, zero shuffles. The
+    doc-level gates (lorem ipsum / brace) read the NORMALIZED text
+    before line filtering, so corruption evidence can't be hidden by
+    a dropped line."""
+    from eugl_spark.models.textnorm import CTRL_RE, ZEROSPACE_RE, nfc_udf
+
+    b = boiler_content_frame(spark.read.parquet(ensure_boiler_docs()))
+    df = b.select(
+        "doc_id",
+        F.col("nc").alias("n_content"),
+        nfc_udf("content_text").alias("nf"),
+    )
+    cl = F.regexp_replace(
+        F.regexp_replace("nf", CTRL_RE, ""), ZEROSPACE_RE, ""
+    )
+    df = df.select("doc_id", "n_content", cl.alias("cl"))
+    kept = F.filter(
+        F.split("cl", "\n"),
+        lambda ln: F.substring(F.trim(ln), -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.filter(F.split(ln, " "), lambda w: w != "")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    df = df.select("doc_id", "n_content", "cl", kept.alias("kept"))
+    c4 = F.array_join("kept", "\n")
+    df = df.select("doc_id", "n_content", "cl", "kept", c4.alias("c4"))
+    n_sent = F.length("c4") - F.length(F.translate("c4", ".!?", ""))
+    return df.select(
+        "doc_id",
+        F.col("n_content").cast("long").alias("n_content"),
+        F.size("kept").cast("long").alias("n_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.when(F.col("n_content") == 0, "no_content")
+        .when(F.lower("cl").contains("lorem ipsum"), "lorem_ipsum")
+        .when(F.col("cl").contains("{"), "brace")
+        .when(n_sent < 2, "too_few_sentences")
+        .otherwise("KEEP")
+        .alias("clean_reason"),
+        F.length("c4").cast("long").alias("clean_chars"),
+        F.col("c4").alias("clean_text"),
     )
 
 

@@ -10,6 +10,8 @@ Contract under test (plans/queries.py, the shared rule text):
 
 from __future__ import annotations
 
+import unittest.mock as mock
+
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -170,6 +172,32 @@ def test_micro_corpus_parity(spark, micro_path):
     res = compare_frames(got, want)
     assert res["values_match"], res["diff"]
     assert len(got) == len(MICRO)
+
+
+def test_clean_corpus_parity_on_micro(spark, micro_path):
+    """The composed capstone (boiler → NFC → C4 lines) through the
+    driver gate on the micro corpus."""
+    with mock.patch.object(Q, "ensure_boiler_docs", lambda: micro_path):
+        got = REGISTRY["qf_clean_corpus"].spark(spark, "").toPandas()
+    con = duckdb.connect()
+    want = con.sql(Q._clean_corpus_sql(micro_path)).df()
+    res = compare_frames(got, want)
+    assert res["values_match"], res["diff"]
+
+
+def test_clean_corpus_reasons_on_fixture(spark):
+    """Every doc gate fires on the committed fixture: KEEP, brace,
+    lorem_ipsum, no_content, too_few_sentences all present; kept
+    clean_text never carries markup or boilerplate anchors."""
+    got = REGISTRY["qf_clean_corpus"].spark(spark, "").toPandas()
+    reasons = set(got["clean_reason"])
+    assert reasons == {
+        "KEEP", "brace", "lorem_ipsum", "no_content", "too_few_sentences"
+    }
+    kept = got[got.clean_reason == "KEEP"]["clean_text"]
+    assert len(kept) > 50
+    assert not kept.str.contains("<").any()
+    assert not kept.str.contains("Home About Contact", regex=False).any()
 
 
 def test_fixture_generator_deterministic_and_covering():
