@@ -91,6 +91,12 @@ FLAGSHIPS = [
     "crawl_ingest_parse",
     "crawl_robots_paths",
     "crawl_robots_verdict",
+    # round-6 continuation: the clean-corpus capstone (promoted via
+    # _SNAPSHOT_PROMOTE; composes boilerplate extraction, unicode
+    # normalization and the C4 line rules, so its driver row evidences
+    # the whole text-hygiene chain; events_transition_matrix demoted —
+    # driver-green r5)
+    "qf_clean_corpus",
 ]
 
 
