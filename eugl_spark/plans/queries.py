@@ -7134,21 +7134,26 @@ def _normalize_unicode_sql(path: str | None = None) -> str:
     WITH d AS (
       SELECT doc_id, coalesce(text, '') AS t
       FROM read_parquet('{path or ensure_unicode_docs()}')
-    ), n AS (
-      SELECT doc_id, t, nfc_normalize(t) AS nf FROM d
     ), s AS (
-      SELECT doc_id, t, nf,
-        regexp_replace(nf, '{CTRL_RE}', '', 'g') AS st
-      FROM n
+      -- control strip BEFORE NFC, both engines: utf8proc's
+      -- nfc_normalize truncates at an embedded NUL whenever the
+      -- string needs actual normalization work (ASCII fast-path
+      -- passes NULs through — fuzz-caught), and a stripped control
+      -- char can no longer block a combining-sequence composition
+      SELECT doc_id, t,
+        regexp_replace(t, '{CTRL_RE}', '', 'g') AS st
+      FROM d
+    ), n AS (
+      SELECT doc_id, t, st, nfc_normalize(st) AS nf FROM s
     ), c AS (
-      SELECT doc_id, t, nf, st,
-        regexp_replace(st, '{ZEROSPACE_RE}', '', 'g') AS cl
-      FROM s
+      SELECT doc_id, t, st, nf,
+        regexp_replace(nf, '{ZEROSPACE_RE}', '', 'g') AS cl
+      FROM n
     )
     SELECT doc_id,
-      CAST(CASE WHEN nf <> t THEN 1 ELSE 0 END AS BIGINT) AS nfc_changed,
-      CAST(len(nf) - len(st) AS BIGINT) AS n_ctrl,
-      CAST(len(st) - len(cl) AS BIGINT) AS n_zw,
+      CAST(CASE WHEN nf <> st THEN 1 ELSE 0 END AS BIGINT) AS nfc_changed,
+      CAST(len(t) - len(st) AS BIGINT) AS n_ctrl,
+      CAST(len(nf) - len(cl) AS BIGINT) AS n_zw,
       CAST(len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS BIGINT)
         AS mojibake_hits,
       CAST(len(cl) AS BIGINT) AS clean_len,
@@ -7179,19 +7184,23 @@ def qf_normalize_unicode(spark, sf_dir):
     )
 
     t = F.coalesce(F.col("text"), F.lit(""))
+    # control strip BEFORE NFC (shared contract — see the SQL twin:
+    # utf8proc truncates at NUL on the non-ASCII path)
     df = spark.read.parquet(ensure_unicode_docs()).select(
-        "doc_id", t.alias("t"), nfc_udf(t).alias("nf")
+        "doc_id",
+        t.alias("t"),
+        F.regexp_replace(t, CTRL_RE, "").alias("st"),
     )
-    df = df.withColumn("st", F.regexp_replace("nf", CTRL_RE, ""))
-    df = df.withColumn("cl", F.regexp_replace("st", ZEROSPACE_RE, ""))
+    df = df.withColumn("nf", nfc_udf("st"))
+    df = df.withColumn("cl", F.regexp_replace("nf", ZEROSPACE_RE, ""))
     return df.select(
         "doc_id",
-        F.when(F.col("nf") != F.col("t"), 1)
+        F.when(F.col("nf") != F.col("st"), 1)
         .otherwise(0)
         .cast("long")
         .alias("nfc_changed"),
-        (F.length("nf") - F.length("st")).cast("long").alias("n_ctrl"),
-        (F.length("st") - F.length("cl")).cast("long").alias("n_zw"),
+        (F.length("t") - F.length("st")).cast("long").alias("n_ctrl"),
+        (F.length("nf") - F.length("cl")).cast("long").alias("n_zw"),
         F.size(F.regexp_extract_all("t", F.lit(MOJIBAKE_RE), 0))
         .cast("long")
         .alias("mojibake_hits"),
@@ -7217,14 +7226,16 @@ def _clean_corpus_sql(path: str | None = None) -> str:
     return (
         _boiler_cte(path)
         + f"""
-    , nrm AS (
-      SELECT doc_id, n_content, nfc_normalize(content_text) AS nf
+    , st0 AS (
+      -- control strip BEFORE NFC (the qf_normalize_unicode contract:
+      -- utf8proc truncates at NUL on the non-ASCII path)
+      SELECT doc_id, n_content,
+        regexp_replace(content_text, '{CTRL_RE}', '', 'g') AS sc
       FROM agg
     ), st AS (
       SELECT doc_id, n_content,
-        regexp_replace(regexp_replace(nf, '{CTRL_RE}', '', 'g'),
-                       '{ZEROSPACE_RE}', '', 'g') AS cl
-      FROM nrm
+        regexp_replace(nfc_normalize(sc), '{ZEROSPACE_RE}', '', 'g') AS cl
+      FROM st0
     ), li AS (
       SELECT doc_id, n_content, cl,
         list_filter(string_split(cl, chr(10)), x ->
@@ -7275,12 +7286,13 @@ def qf_clean_corpus(spark, sf_dir):
     df = b.select(
         "doc_id",
         F.col("nc").alias("n_content"),
-        nfc_udf("content_text").alias("nf"),
+        nfc_udf(F.regexp_replace("content_text", CTRL_RE, "")).alias("nf"),
     )
-    cl = F.regexp_replace(
-        F.regexp_replace("nf", CTRL_RE, ""), ZEROSPACE_RE, ""
+    df = df.select(
+        "doc_id",
+        "n_content",
+        F.regexp_replace("nf", ZEROSPACE_RE, "").alias("cl"),
     )
-    df = df.select("doc_id", "n_content", cl.alias("cl"))
     kept = F.filter(
         F.split("cl", "\n"),
         lambda ln: F.substring(F.trim(ln), -1, 1).isin(".", "!", "?", '"')

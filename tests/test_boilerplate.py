@@ -200,6 +200,73 @@ def test_clean_corpus_reasons_on_fixture(spark):
     assert not kept.str.contains("Home About Contact", regex=False).any()
 
 
+def _fuzz_html(rng) -> str:
+    """Random tag soup stressing the shared regex contract: split tags
+    in mixed case, unclosed/nested/empty anchors, '>' inside quoted
+    attributes, entities, CRLF / \\x0B / tab whitespace, unicode."""
+    TAGS = ["p", "div", "li", "h1", "h2", "h3", "span", "b", "table"]
+    WORDS = ["alpha", "beta", "gamma", "delta", "käse", "ón", "word"]
+    parts = []
+    for _ in range(int(rng.randint(1, 30))):
+        r = int(rng.randint(0, 10))
+        tag = TAGS[int(rng.randint(0, len(TAGS)))]
+        if int(rng.randint(0, 2)):
+            tag = tag.upper()
+        words = " ".join(
+            WORDS[int(rng.randint(0, len(WORDS)))]
+            for _ in range(int(rng.randint(0, 25)))
+        )
+        if r < 4:
+            parts.append(f"<{tag}>{words}</{tag}>")
+        elif r == 4:
+            parts.append(f"<{tag}>{words}")  # unclosed
+        elif r == 5:
+            parts.append(f'<a href="/x/{int(rng.randint(99))}">{words}</a>')
+        elif r == 6:
+            parts.append(f'<A HREF="/y" title="a>b">{words}</A>')
+        elif r == 7:
+            parts.append(f"<{tag}>{words} &amp; more &amp;</{tag}>")
+        elif r == 8:
+            parts.append("<a>" + words)  # anchor never closed
+        else:
+            parts.append(words)
+        ws = ["\n", "\r\n", "\t", "\x0b", " ", ""]
+        parts.append(ws[int(rng.randint(0, len(ws)))])
+    return "".join(parts)
+
+
+def test_fuzz_parity_200_random_docs(spark, tmp_path):
+    """200 random tag-soup docs through BOTH engines — the fuzz twin
+    of the hand matrix (the WARC-framing-fuzz precedent)."""
+    import numpy as np
+
+    rng = np.random.RandomState(661)
+    docs = [
+        {"doc_id": i, "url": f"https://f.example/{i}", "html": _fuzz_html(rng)}
+        for i in range(200)
+    ]
+    path = str(tmp_path / "fuzz.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            docs,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("url", pa.string()),
+                 ("html", pa.string())]
+            ),
+        ),
+        path,
+    )
+    with mock.patch.object(Q, "ensure_boiler_docs", lambda: path):
+        got = REGISTRY["qf_boilerplate_blocks"].spark(spark, "").toPandas()
+        cc = REGISTRY["qf_clean_corpus"].spark(spark, "").toPandas()
+    con = duckdb.connect()
+    res = compare_frames(got, con.sql(Q._boiler_blocks_sql(path)).df())
+    assert res["values_match"], res["diff"]
+    res2 = compare_frames(cc, con.sql(Q._clean_corpus_sql(path)).df())
+    assert res2["values_match"], res2["diff"]
+    assert got["n_content"].sum() > 0  # non-vacuous
+
+
 def test_fixture_generator_deterministic_and_covering():
     a = generate_boiler_docs(160, seed=23)
     b = generate_boiler_docs(160, seed=23)

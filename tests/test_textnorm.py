@@ -122,6 +122,49 @@ def test_micro_corpus_parity(spark, micro_path):
     assert rows[9].n_zw == 1 and rows[9].mojibake_hits == 1
 
 
+def test_fuzz_parity_200_random_docs(spark, tmp_path):
+    """200 random strings over the stable alphabet (Latin + combining
+    marks + Hangul + curly punctuation + controls + zero-width +
+    mojibake fragments) through BOTH engines — guards the NFC parity
+    claim (unicodedata vs utf8proc) beyond the hand cases."""
+    import numpy as np
+
+    rng = np.random.RandomState(662)
+    FRAGS = (
+        ["plain", "word", "tail."]
+        + ["café", "naïve", "señor", "Åström"]
+        + [unicodedata.normalize("NFD", s) for s in ("café", "Åström", "한국어")]
+        + ["한국어", "q̃x", "ȩ́"]  # stacked combining marks
+        + ["it’s", "“quoted”", "–", "…"]
+        + ["\x00", "\x07", "\x1f", "\x7f", "\t", "\n"]
+        + ["​", "‌", "﻿"]
+        + [_mojibake(s) for s in ("é", "’", "“x”", "…")]
+    )
+    docs = []
+    for i in range(200):
+        n = int(rng.randint(0, 30))
+        s = " ".join(FRAGS[int(rng.randint(0, len(FRAGS)))] for _ in range(n))
+        docs.append({"doc_id": i, "url": f"https://z.example/{i}", "text": s})
+    path = str(tmp_path / "fuzz.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            docs,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("url", pa.string()),
+                 ("text", pa.string())]
+            ),
+        ),
+        path,
+    )
+    with mock.patch.object(Q, "ensure_unicode_docs", lambda: path):
+        got = REGISTRY["qf_normalize_unicode"].spark(spark, "").toPandas()
+    con = duckdb.connect()
+    want = con.sql(Q._normalize_unicode_sql(path)).df()
+    res = compare_frames(got, want)
+    assert res["values_match"], res["diff"]
+    assert got["nfc_changed"].sum() > 0  # non-vacuous
+
+
 def test_generator_deterministic_and_covering():
     a = generate_unicode_docs(120, seed=29)
     b = generate_unicode_docs(120, seed=29)
