@@ -270,3 +270,28 @@ def test_path_rules_broadcast_array_gate(spark):
     # exactly the pipeline's one Arrow boundary — the gate adds none
     assert p.count("ArrowEvalPython") == 1
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_boilerplate_zero_shuffle_zero_python(spark):
+    """The block classifier's 100-TB claim, pinned: one scan, per-row
+    array lambdas only — no Exchange, no Python boundary, no join."""
+    p = _plan(REGISTRY["qf_boilerplate_blocks"].spark(spark, ""))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_clean_corpus_single_arrow_boundary_no_shuffle(spark):
+    """The composed capstone stays one scan with exactly ONE Arrow
+    boundary (the NFC kernel); everything else native, no Exchange."""
+    p = _plan(REGISTRY["qf_clean_corpus"].spark(spark, ""))
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") == 1, p.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in p
+
+
+def test_normalize_unicode_single_arrow_boundary(spark):
+    p = _plan(REGISTRY["qf_normalize_unicode"].spark(spark, ""))
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
