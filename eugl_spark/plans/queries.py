@@ -7275,14 +7275,20 @@ def _clean_corpus_sql(path: str | None = None) -> str:
     "quality-filter family's end-to-end text-hygiene chain.",
 )
 def qf_clean_corpus(spark, sf_dir):
+    return clean_corpus_from(spark.read.parquet(ensure_boiler_docs()))
+
+
+def clean_corpus_from(docs: DataFrame) -> DataFrame:
     """Composition of boiler_content_frame + the textnorm kernel + the
-    C4 line rules — one scan, one Arrow boundary, zero shuffles. The
-    doc-level gates (lorem ipsum / brace) read the NORMALIZED text
-    before line filtering, so corruption evidence can't be hidden by
-    a dropped line."""
+    C4 line rules — one scan, one Arrow boundary, zero shuffles; every
+    stage is stateless per-row, so the same frame-in/frame-out chain
+    runs unchanged on a streaming source (streaming/stream.py::
+    stream_clean_corpus). The doc-level gates (lorem ipsum / brace)
+    read the NORMALIZED text before line filtering, so corruption
+    evidence can't be hidden by a dropped line."""
     from eugl_spark.models.textnorm import CTRL_RE, ZEROSPACE_RE, nfc_udf
 
-    b = boiler_content_frame(spark.read.parquet(ensure_boiler_docs()))
+    b = boiler_content_frame(docs)
     df = b.select(
         "doc_id",
         F.col("nc").alias("n_content"),

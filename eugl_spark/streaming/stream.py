@@ -288,3 +288,43 @@ def stream_cdx_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_clean_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental text hygiene over arriving html-doc drops: the
+    clean-corpus chain (boilerplate block extraction → NFC + junk-char
+    strip → C4 line rules, plans/queries.py::clean_corpus_from) is
+    stateless per-row end to end, so it runs as a PURE streaming plan —
+    no foreachBatch, no state store; the one Arrow boundary (the NFC
+    kernel) batches per micro-batch exactly as in batch mode.
+    AvailableNow + checkpointed offsets: rerunning after new drops
+    processes only the new files, exactly-once per run."""
+    from pyspark.sql import types as T
+
+    from eugl_spark.plans.queries import clean_corpus_from
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    return (
+        clean_corpus_from(src)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -488,3 +488,60 @@ def test_stream_cdx_ingest_incremental_and_batch_parity(spark, tmp_path):
     total = spark.read.parquet(out).count()
     b2 = batch_over(lines[half:])
     assert total == first + b2.count()
+
+
+def test_stream_clean_corpus_incremental_and_batch_parity(spark, tmp_path):
+    """The round-6 text-hygiene chain as a PURE streaming plan (no
+    foreachBatch — every stage is stateless per-row): drop 1 drains,
+    matches the batch chain row-for-row; drop 2 arrives, only the new
+    docs are processed (exactly-once), and the final sink equals the
+    batch run over both drops."""
+    import pandas as pd
+
+    from eugl_spark.corpus import generate_boiler_docs
+    from eugl_spark.plans.queries import clean_corpus_from
+    from eugl_spark.streaming.stream import stream_clean_corpus
+
+    docs = generate_boiler_docs(120, seed=77)
+    in_dir = tmp_path / "drops"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def _write(df: pd.DataFrame, name: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(
+                df,
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("url", pa.string()),
+                     ("html", pa.string())]
+                ),
+                preserve_index=False,
+            ),
+            str(in_dir / name),
+        )
+
+    _write(docs.iloc[:70], "drop1.parquet")
+    stream_clean_corpus(spark, str(in_dir), out_dir, ckpt).awaitTermination()
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got1.doc_id) == sorted(docs.doc_id[:70])
+
+    batch1 = clean_corpus_from(
+        spark.createDataFrame(docs.iloc[:70])
+    ).toPandas()
+    a = got1.sort_values("doc_id").reset_index(drop=True)
+    b = batch1.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    _write(docs.iloc[70:], "drop2.parquet")
+    stream_clean_corpus(spark, str(in_dir), out_dir, ckpt).awaitTermination()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    # exactly-once: every doc exactly one row, both drops present
+    assert sorted(got2.doc_id) == sorted(docs.doc_id)
+    batch_all = clean_corpus_from(spark.createDataFrame(docs)).toPandas()
+    a2 = got2.sort_values("doc_id").reset_index(drop=True)
+    b2 = batch_all.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2[a2.columns])
