@@ -329,6 +329,40 @@ def _scaled_fixture(stem: str, writer: str, n_rows: int, seed: int) -> str:
     return p
 
 
+def _shard_dir(single_path: str, shards: int = 24) -> str:
+    """Re-lay a cached single-file fixture as a DIRECTORY of parquet
+    shards (cached beside it). A one-file fixture with pyarrow's
+    default single row group caps the scan at 1-3 tasks regardless of
+    cores — the r6 sink fix exposed several scaled rows running 3-way
+    parallel on a 32-core session. Real crawl inputs are thousands of
+    shard files (the warc_corpus_dir design); the registry-scaled
+    bench fixtures now match that axis."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    out = f"{single_path[: -len('.parquet')]}_sh{shards}"
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(single_path)
+    per = max(1, math.ceil(tbl.num_rows / shards))
+    tmp = f"{out}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(0, tbl.num_rows, per):
+        pq.write_table(
+            tbl.slice(i, per), os.path.join(tmp, f"part-{i // per:04d}.parquet")
+        )
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.exists(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main_bench() -> None:
     from eugl_spark.plans.queries import REGISTRY
     from eugl_spark.session import get_spark
@@ -464,7 +498,7 @@ def main_bench() -> None:
     # the same plans at ~40k pages/sf0.1 so the scale-shape claims —
     # map-side edge collapse, O(hosts) rank frame — are measured, not
     # asserted)
-    link_scaled = link_scaled_path(int(40_000 * sf / 0.1))
+    link_scaled = _shard_dir(link_scaled_path(int(40_000 * sf / 0.1)))
 
     def _webgraph_scaled():
         from eugl_spark.operators.graph import pagerank
@@ -515,12 +549,12 @@ def main_bench() -> None:
     # capture per url → coalesced byte-span plan (sources/cdx.py);
     # and the WAT sidecar link graph (sources/wat.py) — both sized to
     # the sf like the link corpus
-    cdx_scaled = _scaled_fixture(
+    cdx_scaled = _shard_dir(_scaled_fixture(
         "cdxj", "write_cdxj_parquet", int(200_000 * sf / 0.1), seed=19
-    )
-    wat_scaled = _scaled_fixture(
+    ))
+    wat_scaled = _shard_dir(_scaled_fixture(
         "wat", "write_wat_parquet", int(40_000 * sf / 0.1), seed=23
-    )
+    ))
 
     def _cdx_plan_scaled():
         from eugl_spark.sources.cdx import (
@@ -542,12 +576,12 @@ def main_bench() -> None:
     # C4 line filter and revisit resolution at sf-scaled row counts
     # (the registry entries pin tiny oracle fixtures; these time the
     # same plans at bench scale)
-    c4_scaled = _scaled_fixture(
+    c4_scaled = _shard_dir(_scaled_fixture(
         "c4", "write_c4_docs_parquet", int(40_000 * sf / 0.1), seed=41
-    )
-    rv_scaled = _scaled_fixture(
+    ))
+    rv_scaled = _shard_dir(_scaled_fixture(
         "revisit", "write_revisit_parquet", int(100_000 * sf / 0.1), seed=43
-    )
+    ))
 
     def _c4_filter_scaled():
         import eugl_spark.plans.queries as Q
@@ -573,13 +607,13 @@ def main_bench() -> None:
 
     # round-6 additions: boilerplate block classification and unicode
     # normalization (NFC pandas-UDF kernel) at sf-scaled row counts
-    boiler_scaled = _scaled_fixture(
+    boiler_scaled = _shard_dir(_scaled_fixture(
         "boiler", "write_boiler_docs_parquet", int(20_000 * sf / 0.1), seed=47
-    )
-    uni_scaled = _scaled_fixture(
+    ))
+    uni_scaled = _shard_dir(_scaled_fixture(
         "unicode", "write_unicode_docs_parquet", int(60_000 * sf / 0.1),
         seed=53,
-    )
+    ))
 
     def _boiler_scaled():
         import eugl_spark.plans.queries as Q
