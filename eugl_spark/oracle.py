@@ -103,9 +103,25 @@ def avg_nll(tokens: list[str], lang: str) -> float:
     return -(n_seen * C.SEEN_LOGPROB + n_unseen * C.UNSEEN_LOGPROB) / n_pairs
 
 
-def label_row(url: str, html: bytes | None, text: str | None) -> dict:
-    """Full per-document verdict: the label the engine must reproduce."""
-    text_extracted = text if text is not None else extract_text(html)
+def label_row(
+    url: str,
+    html: bytes | None,
+    text: str | None,
+    boilerplate: bool = False,
+) -> dict:
+    """Full per-document verdict: the label the engine must reproduce.
+
+    ``boilerplate=True`` mirrors apply_pipeline(boilerplate=True):
+    html-only rows extract via the block classifier's main content
+    (functions/boilerplate.py::content_text_py) instead of the
+    whole-page strip; a page with no content blocks is no_content."""
+    if boilerplate and text is None:
+        from eugl_spark.functions.boilerplate import content_text_py
+
+        ct = content_text_py(html) if html is not None else ""
+        text_extracted = ct if ct != "" else None
+    else:
+        text_extracted = text if text is not None else extract_text(html)
 
     qa: dict = {
         "n_chars": None, "symbol_ratio": None, "n_words": None,
@@ -187,10 +203,12 @@ def label_row(url: str, html: bytes | None, text: str | None) -> dict:
     return out
 
 
-def label_frame(pages: pd.DataFrame) -> pd.DataFrame:
+def label_frame(
+    pages: pd.DataFrame, boilerplate: bool = False
+) -> pd.DataFrame:
     """Oracle labels for a pages frame (url, html, text[, ...])."""
     rows = [
-        label_row(r.url, r.html, r.text)
+        label_row(r.url, r.html, r.text, boilerplate=boilerplate)
         for r in pages.itertuples(index=False)
     ]
     return pd.DataFrame(rows)

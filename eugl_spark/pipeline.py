@@ -56,6 +56,7 @@ def apply_pipeline(
     repartition_to: int | None = None,
     host_rules: DataFrame | None = None,
     path_rules: DataFrame | None = None,
+    boilerplate: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → labeled documents.
 
@@ -177,8 +178,31 @@ def apply_pipeline(
         F.lit(False),
     )
     # html crosses the boundary only for rows that need extraction
-    text_in = F.when(~condemned, F.col("text"))
-    html_in = F.when(F.col("text").isNull() & ~condemned, F.col("html"))
+    if boilerplate:
+        # boilerplate=True (opt-in; default keeps every verdict hash
+        # byte-identical): html-only rows feed the jusText-style
+        # MAIN-CONTENT blocks to the kernel as text instead of the
+        # kernel's whole-page extraction — nav/menu/footer/link-farm
+        # blocks never reach the metrics, and a page with NO content
+        # blocks (link farm) verdicts no_content. The block chain is
+        # pure Catalyst (functions/boilerplate.py): still one scan,
+        # still a single Arrow boundary, zero extra shuffles.
+        from eugl_spark.functions.boilerplate import with_content_column
+
+        pages = with_content_column(
+            pages, F.col("html").cast("string"), "_bp_content"
+        )
+        content = F.col("_bp_content")
+        text_in = F.when(
+            ~condemned,
+            F.coalesce(
+                F.col("text"), F.when(content != "", content)
+            ),
+        )
+        html_in = F.lit(None).cast("binary")
+    else:
+        text_in = F.when(~condemned, F.col("text"))
+        html_in = F.when(F.col("text").isNull() & ~condemned, F.col("html"))
     df = pages.withColumn("_k", qa_kernel_udf(text_in, html_in))
 
     k = F.col("_k")

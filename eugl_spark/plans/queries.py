@@ -6888,10 +6888,18 @@ def qf_script_profile(spark, sf_dir):
 # engines can never diverge on a boundary ulp.
 # ---------------------------------------------------------------------------
 
-_BOILER_SPLIT_RE = r"(?i)</(?:p|div|li|h1|h2|h3)>"
-_BOILER_TAG_RE = r"<[^>]*>"
-_BOILER_WS_RE = r"[\t\n\f\r ]+"
-_BOILER_A_RE = r"(?i)<a[^>]*>([^<]*)</a>"
+# ONE rule-text definition (functions/boilerplate.py) feeds the Spark
+# chain here, the SQL twins below, the pipeline's boilerplate mode AND
+# the pandas oracle — aliased so the SQL builders embed it verbatim.
+from eugl_spark.functions.boilerplate import (  # noqa: E402
+    A_RE as _BOILER_A_RE,
+    SPLIT_RE as _BOILER_SPLIT_RE,
+    TAG_RE as _BOILER_TAG_RE,
+    WS_RE as _BOILER_WS_RE,
+    btext_expr as _boiler_bt,
+    classify_expr as _boiler_classify,
+    linkchars_expr as _boiler_lch,
+)
 
 
 def _boiler_docs_path() -> str:
@@ -7034,23 +7042,13 @@ def boiler_content_frame(df: DataFrame) -> DataFrame:
     sequence(1,0) counts DOWN."""
     html = F.coalesce(F.col("html"), F.lit(""))
 
-    def _bt(c):
-        t = F.regexp_replace(c, _BOILER_TAG_RE, " ")
-        t = F.regexp_replace(t, "&amp;", "&")
-        return F.trim(F.regexp_replace(t, _BOILER_WS_RE, " "))
-
-    def _lch(c):
-        return F.length(
-            F.array_join(F.regexp_extract_all(c, F.lit(_BOILER_A_RE), 1), "")
-        )
-
     s1 = df.select(
         "doc_id", F.split(html, _BOILER_SPLIT_RE).alias("chunks")
     )
     s2 = s1.select(
         "doc_id",
-        F.transform("chunks", _bt).alias("bt_all"),
-        F.transform("chunks", _lch).alias("lch_all"),
+        F.transform("chunks", _boiler_bt).alias("bt_all"),
+        F.transform("chunks", _boiler_lch).alias("lch_all"),
     )
     keep = F.filter(
         F.sequence(F.lit(1), F.size("bt_all")),
@@ -7061,15 +7059,7 @@ def boiler_content_frame(df: DataFrame) -> DataFrame:
         F.transform(keep, lambda i: F.get("bt_all", i - 1)).alias("bt"),
         F.transform(keep, lambda i: F.get("lch_all", i - 1)).alias("lch"),
     )
-    cls = F.zip_with(
-        "bt",
-        "lch",
-        lambda t, l: F.when(
-            (F.length(t) < 30) | (l * 3 > F.length(t)), "bad"
-        )
-        .when((F.length(t) >= 80) & (l * 20 <= F.length(t) * 3), "good")
-        .otherwise("near"),
-    )
+    cls = F.zip_with("bt", "lch", _boiler_classify)
     s4 = s3.select("doc_id", "bt", cls.alias("cls"))
     n = F.size("cls")
     idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(

@@ -267,6 +267,45 @@ def test_fuzz_parity_200_random_docs(spark, tmp_path):
     assert got["n_content"].sum() > 0  # non-vacuous
 
 
+def test_pipeline_boilerplate_mode_matches_oracle(spark, pages_path):
+    """apply_pipeline(boilerplate=True) == label_frame(boilerplate=True)
+    row for row on the pages fixture (which carries html-only rows with
+    nav/script boilerplate), and the mode actually changes extraction
+    vs the default whole-page strip."""
+    import pandas as pd
+
+    from eugl_spark.oracle import label_frame
+    from eugl_spark.pipeline import apply_pipeline
+
+    pages = spark.read.parquet(pages_path).drop("_case")
+    got = (
+        apply_pipeline(pages, repartition_to=0, boilerplate=True)
+        .select("url", "text_extracted", "keep", "drop_reason")
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+    raw = pd.read_parquet(pages_path).drop(columns=["_case"])
+    want = (
+        label_frame(raw, boilerplate=True)
+        .set_index("url")
+        .sort_index()
+    )
+    assert (got["keep"] == want["keep"]).all()
+    assert (
+        got["drop_reason"].fillna("K") == want["drop_reason"].fillna("K")
+    ).all()
+    assert (
+        got["text_extracted"].fillna("∅") == want["text_extracted"].fillna("∅")
+    ).all()
+    # the mode is not a no-op: html-only rows extract differently
+    default = label_frame(raw, boilerplate=False).set_index("url").sort_index()
+    changed = (
+        want["text_extracted"].fillna("∅") != default["text_extracted"].fillna("∅")
+    )
+    assert changed.sum() > 10, int(changed.sum())
+
+
 def test_fixture_generator_deterministic_and_covering():
     a = generate_boiler_docs(160, seed=23)
     b = generate_boiler_docs(160, seed=23)
