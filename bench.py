@@ -645,6 +645,23 @@ def main_bench() -> None:
         finally:
             Q.ensure_boiler_docs = orig
 
+    def _pipeline_boiler():
+        from pyspark.sql import functions as F
+
+        from eugl_spark.pipeline import apply_pipeline
+
+        out = apply_pipeline(
+            spark.read.parquet(pages).drop("_case"), boilerplate=True
+        )
+        return int(
+            out.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum(F.length("scrubbed_text")).alias("bytes"),
+            ).collect()[0]["n"]
+        )
+
+    jobs.append(("qf_pipeline_boiler", _pipeline_boiler))
     jobs.append(("boiler_blocks_scaled", _boiler_scaled))
     jobs.append(("clean_corpus_scaled", _clean_corpus_scaled))
     jobs.append(("normalize_unicode_scaled", _normalize_scaled))
