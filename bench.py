@@ -508,10 +508,9 @@ def main_bench() -> None:
         edges = link_host_edges(pg).withColumnRenamed("n_links", "w")
         return _force(pagerank(edges, iters=3))
 
-    def _snapshot_collapse_scaled():
+    def _collapse(pg):
         from pyspark.sql import functions as F
 
-        pg = spark.read.parquet(link_scaled)
         return _force(
             pg.groupBy("url").agg(
                 F.max("warc_ts").alias("last_ts"),
@@ -521,6 +520,46 @@ def main_bench() -> None:
                 ).alias("last_html_len"),
             )
         )
+
+    def _snapshot_collapse_scaled():
+        return _collapse(spark.read.parquet(link_scaled))
+
+    # durable url-bucketed layout of the SAME link corpus
+    # (sources/bucketed.py): snapshot collapse is a groupBy(url) over
+    # the fat html column, so the unbucketed job re-pays a full
+    # fat-column shuffle EVERY run; the layout pays it once at write
+    # time. `snapshot_collapse_scaled` above is the unbucketed
+    # control — the delta between the two rows is the shuffle the
+    # layout removes. Bucket count = CPUS (sized like shuffle
+    # partitions, see bucketed.DEFAULT_BUCKETS).
+    from eugl_spark.sources import bucketed as B
+
+    bkt_path = f"{link_scaled}_bkturl{CPUS}"
+    _link_df = spark.read.parquet(link_scaled)
+    if not os.path.exists(bkt_path):
+        import shutil
+
+        tmp_tbl = f"bench_bkt_tmp_{os.getpid()}"
+        tmpb = f"{bkt_path}.{os.getpid()}.tmp"
+        B.write_bucketed(_link_df, tmp_tbl, tmpb, n_buckets=CPUS, key="url")
+        B.drop_table(spark, tmp_tbl)
+        try:
+            os.replace(tmpb, bkt_path)
+        except OSError:
+            if not os.path.exists(bkt_path):
+                raise
+            shutil.rmtree(tmpb, ignore_errors=True)
+    B.attach_bucketed(
+        spark,
+        "bench_link_bkt",
+        bkt_path,
+        B.schema_ddl(_link_df),
+        n_buckets=CPUS,
+        key="url",
+    )
+
+    def _snapshot_collapse_bucketed():
+        return _collapse(spark.table("bench_link_bkt"))
 
     def _crawl_capstone_scaled():
         from eugl_spark.plans.queries import crawl_corpus_from
@@ -672,6 +711,7 @@ def main_bench() -> None:
     jobs.append(("bpe_train_capped_k256", _bpe_capped_k256))
     jobs.append(("webgraph_pagerank_scaled", _webgraph_scaled))
     jobs.append(("snapshot_collapse_scaled", _snapshot_collapse_scaled))
+    jobs.append(("snapshot_collapse_bucketed", _snapshot_collapse_bucketed))
     jobs.append(("crawl_capstone_scaled", _crawl_capstone_scaled))
     jobs.append(
         (
