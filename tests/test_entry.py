@@ -97,6 +97,10 @@ FLAGSHIPS = [
     # the whole text-hygiene chain; events_transition_matrix demoted —
     # driver-green r5)
     "qf_clean_corpus",
+    # round-6 session 2: sequence packing (promoted via
+    # _SNAPSHOT_PROMOTE; bpe_train_merges demoted — driver-green r5,
+    # BPE family keeps apply + token stats in-window)
+    "corpus_pack_sequences",
 ]
 
 

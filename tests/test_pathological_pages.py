@@ -222,6 +222,10 @@ _DOC_QUERIES = [
     # separator encoding and the separator-exclusion filter)
     "bpe_train_merges",
     "bpe_apply_token_stats",
+    # round-6 session 2: sequence packing (prefix-sum offsets over the
+    # hard corpus — 10 MB single-token docs span many sequences, empty
+    # and null docs must vanish before the stream forms)
+    "corpus_pack_sequences",
 ]
 
 

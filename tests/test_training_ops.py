@@ -495,3 +495,55 @@ def test_bpe_deep_merge_training_is_fast(spark):
     assert dt < 120, f"capped k=256 training took {dt:.0f}s"
     # merges are well-formed and counts non-increasingly plausible
     assert all(isinstance(l, str) and isinstance(r, str) for l, r, _ in merges)
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing invariants: token mass is conserved (sum of per-sequence
+    fills == corpus token total), every sequence except the last is
+    exactly full, seq_ids are dense from 0, and every document starts
+    in exactly one sequence (sum n_starts == n_docs with tokens)."""
+    from pyspark.sql import functions as F
+
+    from eugl_spark.plans.queries import _PACK_SEQ_LEN, REGISTRY
+    from eugl_spark.functions import heuristics as H
+
+    out = (
+        REGISTRY["corpus_pack_sequences"]
+        .spark(spark, sf_dir)
+        .orderBy("seq_id")
+        .collect()
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(F.size(H.tokens(F.col("text"))).cast("long").alias("ntok"))
+        .filter(F.col("ntok") > 0)
+    )
+    agg = docs.agg(
+        F.sum("ntok").alias("total"), F.count("*").alias("n")
+    ).collect()[0]
+    assert [r["seq_id"] for r in out] == list(range(len(out)))
+    assert sum(r["n_tokens"] for r in out) == agg["total"]
+    assert all(r["n_tokens"] == _PACK_SEQ_LEN for r in out[:-1])
+    assert 0 < out[-1]["n_tokens"] <= _PACK_SEQ_LEN
+    assert sum(r["n_starts"] for r in out) == agg["n"]
+    # a sequence holds at least the doc that spans it
+    assert all(r["n_docs"] >= 1 for r in out)
+
+
+def test_pack_sequences_two_phase_plan(spark, sf_dir):
+    """The prefix sum must be the two-phase shape: no window over the
+    full doc stream in one task — the only unpartitioned window runs
+    over the tiny per-bucket offsets frame (n_buckets rows)."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["corpus_pack_sequences"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the doc-level window is partitioned by bkt; assert the global
+    # doc-order window (partitionBy empty + orderBy doc_id) is absent
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        frag = m.group(0)
+        if "doc_id" in frag:
+            assert "bkt" in frag, f"unpartitioned doc-order window: {frag}"
