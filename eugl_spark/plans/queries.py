@@ -3214,15 +3214,19 @@ def dedup_span_coverage(spark, sf_dir):
     return span_coverage_from(_t(spark, sf_dir, "documents"))
 
 
-def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
-    """(doc_id, text, …) → per-doc duplicated-span stats (library
-    surface of dedup_span_coverage; see its oracle for the contract).
+def _span_tk_hits(
+    docs: DataFrame, n: int = _SPAN_N
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stages of the exact-substring family (span_coverage_from
+    and remove_spans_from): the checkpointed per-doc token frame and
+    the (doc_id, i) duplicated-gram hit frame — 1-based gram start
+    positions whose word-n-gram occurs ≥2 times corpus-wide.
 
     Positioned-gram plan: tokenize ONCE (checkpointed tokens frame
-    feeds both the gram build and the final per-doc stats), posexplode
-    grams, hash→int64, partial-agg groupBy(gh) for the duplicate set,
-    equi-join back, then a bounded ≤n× position explode for interval
-    union. Never a doc×doc comparison."""
+    feeds both the gram build and the per-doc finals), posexplode
+    grams, hash→int64 so exchanges carry 8 bytes, partial-agg
+    groupBy(gh) for the duplicate set, equi-join back. Never a
+    doc×doc comparison."""
     spark = docs.sparkSession
     tk = checkpoint_df(
         docs.filter(F.col("text").isNotNull())
@@ -3248,6 +3252,16 @@ def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
         .select("gh")
     )
     hits = checkpoint_df(grams.join(dup, "gh").select("doc_id", "i"))
+    return tk, hits
+
+
+def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """(doc_id, text, …) → per-doc duplicated-span stats (library
+    surface of dedup_span_coverage; see its oracle for the contract).
+
+    Shared _span_tk_hits stages, then a bounded ≤n× position explode
+    for the interval union."""
+    tk, hits = _span_tk_hits(docs, n)
     dg = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
     cov = (
         hits.select(
@@ -3277,6 +3291,127 @@ def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
+        )
+    )
+
+
+# Exact-substring dedup, the ACT half: where dedup_span_coverage only
+# MEASURES duplication, dedup_remove_spans emits the cleaned corpus —
+# every token position covered by a duplicated word-n-gram is cut and
+# the surviving tokens are reassembled in order ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022: drop
+# every duplicated substring occurrence; here on the normalized token
+# stream that is also the dedup-hash basis, so the removal set is
+# byte-identical to the profile's covered set). Both halves share
+# _span_tk_hits, so profile and removal can never disagree about WHICH
+# spans are duplicated — an invariant the tests pin
+# (kept_tokens == n_tokens - covered_tokens, row for row).
+@q(
+    "dedup_remove_spans",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)))
+          AS i
+      FROM tk
+    ), grams AS (
+      SELECT doc_id, i,
+        {_md5_int_sql(f"concat_ws(' ', {_SPAN_GRAM_WORDS})")} AS gh
+      FROM pos
+    ), dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gh)
+    ), covd AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(i, i + {_SPAN_N - 1})) AS p
+        FROM hits)
+    ), tokpos AS (
+      SELECT doc_id, i AS p, toks[i] AS tok FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM tk)
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM tokpos t
+      LEFT JOIN covd c ON c.doc_id = t.doc_id AND c.p = t.p
+      WHERE c.p IS NULL
+    ), agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+        string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+      coalesce(a.kept_tokens, 0) AS kept_tokens,
+      len(t.toks) - coalesce(a.kept_tokens, 0) AS removed_tokens,
+      coalesce(a.clean_text, '') AS clean_text
+    FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+    "Exact-substring dedup, removal half: cut every token position "
+    "covered by a corpus-duplicated word-8-gram and emit the kept "
+    "token stream per doc — the cleaned corpus the span-coverage "
+    "profile predicts (Lee et al. 2022 semantics over the normalized "
+    "token stream).",
+)
+def dedup_remove_spans(spark, sf_dir):
+    return remove_spans_from(_t(spark, sf_dir, "documents"))
+
+
+def remove_spans_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """(doc_id, text, …) → cleaned token stream after exact-substring
+    removal (library surface of dedup_remove_spans).
+
+    Shared _span_tk_hits stages, then: hits → bounded ≤n× explode to
+    covered positions, distinct; token positions LEFT-ANTI join the
+    covered set on (doc_id, p) — both sides hash-partition on the
+    same compound key, one exchange each, never a doc×doc compare —
+    and the survivors reassemble per doc via
+    sort_array(collect_list(struct(p, tok))), deterministic because p
+    is unique per doc. Per-doc state is O(doc length) — the same
+    bound as holding the input row. At 100 TB every frame here is
+    O(corpus tokens) rows of (int64, int32[, short token]) — the same
+    scale the gram-hash stage already shuffles."""
+    tk, hits = _span_tk_hits(docs, n)
+    covd = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = tk.select("doc_id", F.posexplode("toks")).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("p"),
+        F.col("col").alias("tok"),
+    )
+    agg = (
+        tokpos.join(covd, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    kept = F.coalesce("kept_tokens", F.lit(0)).cast("long")
+    return (
+        tk.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            kept.alias("kept_tokens"),
+            (F.col("n_tokens") - kept).cast("long").alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 
@@ -7471,6 +7606,11 @@ _SNAPSHOT_PROMOTE = [
 ]
 
 _SNAPSHOT_TAIL = [
+    # round-6 session 3: registered mid-file next to its profile twin
+    # (dedup_span_coverage) but snapshot-tailed so the first-50 window
+    # is unchanged — the local DuckDB gate covers it; promote in a
+    # later rotation once the window has room
+    "dedup_remove_spans",
     # demoted to make room for corpus_pack_sequences: driver-green r5
     # (first-ever evidence recorded); the BPE family keeps
     # bpe_apply_token_stats and text_bpe_token_stats in-window, and

@@ -185,6 +185,7 @@ _DOC_TEXTS += [
 ]
 
 _DOC_QUERIES = [
+    "dedup_remove_spans",
     "qf_ppl_buckets",
     "qf_repetition_profile",
     "dsir_importance",
