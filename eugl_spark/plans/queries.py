@@ -7580,6 +7580,130 @@ def clean_corpus_from(docs: DataFrame) -> DataFrame:
     )
 
 
+# Deterministic shuffle-shard of the packed sequences — the tail of a
+# training-data build (pack → shuffle → shard). Each sequence gets a
+# pseudo-random but reproducible key (THE shared md5→int64 recipe over
+# a salted seq_id), a shard by key modulo, and its position within the
+# shard by (key, seq_id) rank. The per-shard window IS the physical
+# layout a training loader wants: one exchange hash-partitioned on
+# shard, one per-shard sort — never a global total order — and each
+# shard file comes out internally key-shuffled, so readers stream
+# sequentially yet see a globally shuffled corpus. Salt 'shuf1:' is
+# the shuffle epoch: bump it to re-shuffle between training epochs
+# without touching the packing.
+_PACK_SHARDS = 8
+
+
+@q(
+    "corpus_shard_sequences",
+    None,  # placeholder, replaced right below (composes pack's SQL)
+    "Training-data op: deterministic global shuffle + sharding of the "
+    "packed sequences — salted-hash key, key-modulo shard, (key, "
+    "seq_id) rank within shard. Reproducible epoch shuffle with no "
+    "global sort; per-shard files stream sequentially but read as a "
+    "shuffled corpus.",
+)
+def corpus_shard_sequences(spark, sf_dir):
+    seqs = corpus_pack_sequences(spark, sf_dir).select(
+        "seq_id", "n_tokens"
+    )
+    keyed = seqs.withColumn(
+        "k",
+        _md5_int_col(
+            F.concat(F.lit("shuf1:"), F.col("seq_id").cast("string"))
+        ),
+    ).withColumn("shard", (F.col("k") % _PACK_SHARDS).cast("long"))
+    w = W.partitionBy("shard").orderBy("k", "seq_id")
+    return keyed.select(
+        "seq_id",
+        "n_tokens",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+REGISTRY["corpus_shard_sequences"].sql = f"""
+    WITH seqs AS ({{pack_sql}}),
+    keyed AS (
+      SELECT seq_id, n_tokens,
+        {_md5_int_sql("'shuf1:' || seq_id")} AS k
+      FROM seqs)
+    SELECT seq_id, n_tokens,
+      CAST(k % {_PACK_SHARDS} AS BIGINT) AS shard,
+      CAST(row_number() OVER (PARTITION BY k % {_PACK_SHARDS}
+           ORDER BY k, seq_id) AS BIGINT) AS pos
+    FROM keyed
+""".format(pack_sql=REGISTRY["corpus_pack_sequences"].sql)
+
+
+# Corpus datasheet: the one-scan "dataset card" a training-data build
+# publishes next to its output — per-language doc counts, corpus
+# share, and the char-length distribution, with an (all) grand-total
+# row from the same GROUPING SETS pass. A2 normalized-distribution +
+# A5 exact-quantile shapes over the documents table in one partial-agg
+# aggregation; the only extra exchange is the broadcast 1-row total.
+@q(
+    "corpus_datasheet",
+    """
+    WITH d AS (
+      SELECT coalesce(lang, '(none)') AS lang, n_chars FROM documents
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT
+      CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+        AS doc_share,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      round(avg(n_chars), 6) AS mean_chars,
+      round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM d GROUP BY GROUPING SETS ((), (lang))
+    """,
+    "Training-data op: the corpus datasheet — per-language doc count, "
+    "corpus share, total/mean chars and exact p50/p90 length, plus an "
+    "'(all)' grand-total row, in ONE grouping-sets scan (the dataset "
+    "card published beside a corpus build).",
+)
+def corpus_datasheet(spark, sf_dir):
+    """Data-null langs coalesce to '(none)' BEFORE the aggregation in
+    both engines, so the grouping-sets null unambiguously means 'the
+    grand-total row' and maps to '(all)' — never conflated with
+    null-lang documents. grouping() disambiguates, not the null."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("(none)")).alias("lang"), "n_chars"
+    )
+    total = d.agg(F.count("*").alias("n"))
+    return (
+        d.groupingSets([[], [F.col("lang")]], F.col("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias(
+                "p50_chars"
+            ),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias(
+                "p90_chars"
+            ),
+            F.grouping("lang").alias("_g"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.when(F.col("_g") == 1, F.lit("(all)"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n"), 6
+            ).alias("doc_share"),
+            "total_chars",
+            "mean_chars",
+            "p50_chars",
+            "p90_chars",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external

@@ -227,6 +227,11 @@ _DOC_QUERIES = [
     # hard corpus — 10 MB single-token docs span many sequences, empty
     # and null docs must vanish before the stream forms)
     "corpus_pack_sequences",
+    # round-6 session 3: shuffle-shard composes the packing oracle
+    # (10 MB docs → many sequences per doc); the datasheet's lang
+    # coalesce meets the fixture's null-lang family head-on
+    "corpus_shard_sequences",
+    "corpus_datasheet",
 ]
 
 

@@ -547,3 +547,54 @@ def test_pack_sequences_two_phase_plan(spark, sf_dir):
         frag = m.group(0)
         if "doc_id" in frag:
             assert "bkt" in frag, f"unpartitioned doc-order window: {frag}"
+
+
+def test_shard_sequences_partition_and_determinism(spark, sf_dir):
+    """Shuffle-shard invariants: the shards exactly partition the
+    packed sequences (every seq_id appears once), pos is dense 1..k
+    within each shard, the shard is the salted key's modulo (so the
+    layout is reproducible run-to-run), and the within-shard order is
+    NOT seq_id order (it is actually shuffled)."""
+    from collections import defaultdict
+
+    from eugl_spark.plans.queries import _PACK_SHARDS, REGISTRY
+
+    out = REGISTRY["corpus_shard_sequences"].spark(spark, sf_dir).collect()
+    packed = REGISTRY["corpus_pack_sequences"].spark(spark, sf_dir).collect()
+    assert sorted(r["seq_id"] for r in out) == sorted(
+        r["seq_id"] for r in packed
+    )
+    by_shard = defaultdict(list)
+    for r in out:
+        assert 0 <= r["shard"] < _PACK_SHARDS
+        by_shard[r["shard"]].append(r)
+    for rows in by_shard.values():
+        assert sorted(r["pos"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    in_order = [
+        r["seq_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert in_order != sorted(in_order), "shard order degenerated to seq_id"
+    # reproducible: a second run yields the identical layout
+    again = REGISTRY["corpus_shard_sequences"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_datasheet_total_row_consistency(spark, sf_dir):
+    """The '(all)' grand-total row must equal the per-lang rows summed
+    (docs, chars) and doc_share must sum to 1 over langs; null langs
+    surface as '(none)', never conflated with the total row."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["corpus_datasheet"].spark(spark, sf_dir).collect()
+    }
+    total = rows.pop("(all)")
+    assert total["n_docs"] == sum(r["n_docs"] for r in rows.values())
+    assert total["total_chars"] == sum(
+        r["total_chars"] for r in rows.values()
+    )
+    assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-4
+    assert abs(total["doc_share"] - 1.0) < 1e-9
