@@ -7604,15 +7604,30 @@ _PACK_SHARDS = 8
     "shuffled corpus.",
 )
 def corpus_shard_sequences(spark, sf_dir):
-    seqs = corpus_pack_sequences(spark, sf_dir).select(
-        "seq_id", "n_tokens"
+    return shard_sequences(
+        corpus_pack_sequences(spark, sf_dir).select("seq_id", "n_tokens")
     )
+
+
+def shard_sequences(
+    seqs: DataFrame, n_shards: int = _PACK_SHARDS, salt: str = "shuf1:"
+) -> DataFrame:
+    """(seq_id, n_tokens) → (seq_id, n_tokens, shard, pos): the
+    library surface of corpus_shard_sequences.
+
+    Scale contract: pos is a row_number within shard, so EVERY shard
+    sorts in one task — n_shards must scale with the corpus so a
+    shard stays one training file (~100 MB–1 GB of packed sequences:
+    100 TB of tokens ⇒ ~10⁵ shards, each an independent bounded
+    task). The fixture default (8) is sized to the test corpus; it is
+    NOT a constant to carry to production. The salt is the shuffle
+    epoch — bump it to deal a fresh epoch order without repacking."""
     keyed = seqs.withColumn(
         "k",
         _md5_int_col(
-            F.concat(F.lit("shuf1:"), F.col("seq_id").cast("string"))
+            F.concat(F.lit(salt), F.col("seq_id").cast("string"))
         ),
-    ).withColumn("shard", (F.col("k") % _PACK_SHARDS).cast("long"))
+    ).withColumn("shard", (F.col("k") % n_shards).cast("long"))
     w = W.partitionBy("shard").orderBy("k", "seq_id")
     return keyed.select(
         "seq_id",
