@@ -75,6 +75,14 @@ HEADLINE = [
     "crawl_robots_paths",
     "crawl_robots_verdict",
     "dedup_url_canonical",
+    # round-6 session 3: exact-substring removal (the act half of
+    # dedup_span_coverage — same gram stages plus the position
+    # anti-join and per-doc reassembly), the pack→shuffle→shard tail,
+    # and the one-scan dataset card
+    "dedup_remove_spans",
+    "corpus_pack_sequences",
+    "corpus_shard_sequences",
+    "corpus_datasheet",
 ]
 
 

@@ -295,3 +295,40 @@ def test_normalize_unicode_single_arrow_boundary(spark):
     assert "Exchange" not in p, p
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_remove_spans_anti_join_no_cartesian(spark, sf_dir):
+    """Removal is the (doc_id, p) LEFT-ANTI equi-join — never a
+    doc×doc product, and the covered-position cut never routes through
+    Python (the whole op is native: the only allowed Python boundary
+    count is zero)."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    p = _plan(REGISTRY["dedup_remove_spans"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "LeftAnti" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_shard_sequences_window_partitioned_by_shard(spark, sf_dir):
+    """The within-shard rank must be a PARTITIONED window (one sort
+    task per shard — the scale contract of shard_sequences), never an
+    empty-partition global sort over the sequence axis. The packing
+    stage underneath keeps its own tiny offsets window; the gate here
+    is that no window ORDERS ON the shuffle key k without a shard
+    partition."""
+    from eugl_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["corpus_shard_sequences"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hit = False
+    for m in re.finditer(r"Window \[.*?windowspecdefinition\((.*?)\)", plan):
+        frag = m.group(0)
+        # \b is not enough: 'bkt#7' (the packing buckets) contains
+        # 'k#' as a substring — anchor on a non-letter before the k
+        if re.search(r"(?<![a-z])k#\d", frag):
+            hit = True
+            assert "shard#" in frag, f"unpartitioned shard window: {frag}"
+    assert hit, f"no shard-rank window found:\n{plan}"
