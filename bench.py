@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_shard_sequences",
     "corpus_datasheet",
+    "corpus_pack_payload",
 ]
 
 

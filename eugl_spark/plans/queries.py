@@ -7719,6 +7719,88 @@ def corpus_datasheet(spark, sf_dir):
     )
 
 
+# Packed-sequence PAYLOAD materialization — where corpus_pack_sequences
+# reports per-sequence stats, this emits the sequences themselves: the
+# ordered token stream of each fixed-length window, i.e. the actual
+# training batches a loader reads. Same two-phase prefix-sum offsets,
+# then ONE posexplode of the token axis (gpos = strt + pos), one
+# exchange hash-partitioned on seq_id, and a per-sequence
+# sort_array(collect_list(struct)) reassembly bounded at seq_len
+# elements — O(corpus tokens) end to end, no global sort, per-group
+# state capped at one sequence.
+@q(
+    "corpus_pack_payload",
+    f"""
+    WITH nt AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), nz AS (
+      SELECT doc_id, toks, len(toks) AS ntok FROM nt WHERE len(toks) > 0
+    ), pos AS (
+      SELECT doc_id, toks, ntok,
+        CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS strt
+      FROM nz
+    ), tokpos AS (
+      SELECT strt + i - 1 AS gpos, toks[i] AS tok FROM (
+        SELECT doc_id, toks, strt, unnest(generate_series(1, ntok)) AS i
+        FROM pos)
+    )
+    SELECT CAST(gpos // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+    FROM tokpos GROUP BY 1
+    """,
+    "Training-data op: materialized sequence packing — the ordered "
+    "token payload of every fixed 512-token window of the document "
+    "stream (the actual training batches), via the two-phase prefix "
+    "sum + one token-axis explode grouped on seq_id.",
+)
+def corpus_pack_payload(spark, sf_dir):
+    return pack_payload_from(_t(spark, sf_dir, "documents"))
+
+
+def pack_payload_from(
+    docs: DataFrame, seq_len: int = _PACK_SEQ_LEN
+) -> DataFrame:
+    """(doc_id, text, …) → (seq_id, n_tokens, seq_text): the packed
+    sequences themselves (library surface of corpus_pack_payload).
+    Stats (corpus_pack_sequences) and payload share the offset
+    contract, so a sequence's n_tokens here always equals the stats
+    row's fill — pinned by tests."""
+    tk = checkpoint_df(
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", _once(H.tokens(F.col("text"))).alias("toks"))
+        .withColumn("ntok", F.size("toks").cast("long"))
+        .filter(F.col("ntok") > 0)
+    )
+    pos = _doc_positions(tk.select("doc_id", "ntok"))
+    framed = tk.join(pos.select("doc_id", "strt"), "doc_id")
+    tokpos = framed.select(
+        F.col("strt"), F.posexplode("toks")
+    ).select(
+        (F.col("strt") + F.col("pos")).alias("gpos"),
+        F.col("col").alias("tok"),
+    )
+    return (
+        tokpos.withColumn(
+            "seq_id", F.floor(F.col("gpos") / F.lit(seq_len))
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("seq_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external

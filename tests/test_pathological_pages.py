@@ -232,6 +232,7 @@ _DOC_QUERIES = [
     # coalesce meets the fixture's null-lang family head-on
     "corpus_shard_sequences",
     "corpus_datasheet",
+    "corpus_pack_payload",
 ]
 
 

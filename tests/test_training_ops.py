@@ -598,3 +598,39 @@ def test_datasheet_total_row_consistency(spark, sf_dir):
     )
     assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-4
     assert abs(total["doc_share"] - 1.0) < 1e-9
+
+
+def test_pack_payload_matches_stats(spark, sf_dir):
+    """Payload and stats share the offset contract: per-sequence
+    token count identical, payload token stream concatenated over
+    seq_id order == the documents' token streams concatenated in
+    doc_id order (byte-for-byte), and each sequence carries exactly
+    seq_len tokens except the last."""
+    from pyspark.sql import functions as F
+
+    from eugl_spark.functions import heuristics as H
+    from eugl_spark.plans.queries import REGISTRY
+
+    stats = {
+        r["seq_id"]: r
+        for r in REGISTRY["corpus_pack_sequences"].spark(spark, sf_dir).collect()
+    }
+    payload = (
+        REGISTRY["corpus_pack_payload"]
+        .spark(spark, sf_dir)
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert {r["seq_id"] for r in payload} == set(stats)
+    for r in payload:
+        assert r["n_tokens"] == stats[r["seq_id"]]["n_tokens"]
+    stream = " ".join(r["seq_text"] for r in payload)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.concat_ws(" ", H.tokens(F.col("text"))).alias("t"))
+        .filter(F.length("t") > 0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert stream == " ".join(r["t"] for r in docs)
