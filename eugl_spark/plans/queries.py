@@ -3236,6 +3236,14 @@ def _span_tk_hits(
         )
         .select("doc_id", _once(H.tokens(F.col("text"))).alias("toks"))
     )
+    return tk, _span_hits_from_toks(tk, n)
+
+
+def _span_hits_from_toks(tk: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """(doc_id, toks) [already tokenized/checkpointed] → the (doc_id,
+    i) duplicated-gram hit frame. Split out so callers that ALREADY
+    hold a one-pass token frame (the corpus-build capstone) can run
+    the span stages without re-tokenizing."""
     grams = checkpoint_df(
         tk.select(
             "doc_id", F.posexplode(_ngram_arr("toks", n))
@@ -3251,8 +3259,7 @@ def _span_tk_hits(
         .filter(F.col("c") >= 2)
         .select("gh")
     )
-    hits = checkpoint_df(grams.join(dup, "gh").select("doc_id", "i"))
-    return tk, hits
+    return checkpoint_df(grams.join(dup, "gh").select("doc_id", "i"))
 
 
 def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
@@ -5488,14 +5495,25 @@ def corpus_build_train(spark, sf_dir):
 
 
 def build_training_corpus(
-    spark: SparkSession, sf_dir: str, token_budget: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    token_budget: int | None = None,
+    span_drop_threshold: float | None = None,
 ):
     """The end-to-end corpus build as a library surface (the registry
     query `corpus_build_train` is this with defaults, pinned to its
     composed SQL oracle). ``token_budget`` overrides the per-source
     cap; the boundary rule and two-phase prefix-sum shape are
     unchanged (`_budget_filter`).
-    """
+
+    ``span_drop_threshold`` (opt-in, default None keeps every oracle
+    hash byte-identical — the boilerplate-mode precedent) adds the
+    exact-substring curation gate: docs whose duplicated-span
+    coverage fraction EXCEEDS the threshold are dropped alongside the
+    near-dup losers. The span stages run off the capstone's existing
+    one-pass token frame (no re-tokenization; `_span_hits_from_toks`)
+    and the rule is exactly `dedup_span_coverage`'s dup_fraction >
+    threshold — pinned equivalent by test."""
     # the HEURISTIC verdict (claimed-lang qf chain): the driver's
     # documents table is generated from its own word lists, so the
     # trigram/perplexity models (tested separately on their own
@@ -5537,6 +5555,27 @@ def build_training_corpus(
         .join(dup_drop, "doc_id", "left_anti")
         .join(cont, "doc_id", "left_anti")
     )
+    if span_drop_threshold is not None:
+        hits = _span_hits_from_toks(base.select("doc_id", "toks"))
+        cov = (
+            hits.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
+                ).alias("p"),
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("p").alias("covered"))
+        )
+        span_drop = (
+            cov.join(base.select("doc_id", "ntok"), "doc_id")
+            .filter(
+                F.col("covered")
+                > F.col("ntok") * F.lit(float(span_drop_threshold))
+            )
+            .select("doc_id")
+        )
+        surv = surv.join(span_drop, "doc_id", "left_anti")
     nt = surv.join(base.select("doc_id", "ntok"), "doc_id").select(
         "doc_id", "source", F.col("ntok").cast("long").alias("ntok")
     )

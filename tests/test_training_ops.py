@@ -634,3 +634,30 @@ def test_pack_payload_matches_stats(spark, sf_dir):
         .collect()
     )
     assert stream == " ".join(r["t"] for r in docs)
+
+
+def test_capstone_span_drop_gate(spark, sf_dir):
+    """The opt-in exact-substring curation gate: with a threshold, the
+    capstone's survivors are exactly the default survivors minus the
+    docs whose dedup_span_coverage dup_fraction exceeds it; with the
+    default None the output is byte-identical to corpus_build_train
+    (oracle hashes untouched — the boilerplate-mode precedent)."""
+    from eugl_spark.plans.queries import REGISTRY, build_training_corpus
+
+    default = build_training_corpus(spark, sf_dir).toPandas()
+    registry = REGISTRY["corpus_build_train"].spark(spark, sf_dir).toPandas()
+    key = sorted(default.columns)
+    assert sorted(map(tuple, default[key].itertuples(index=False))) == sorted(
+        map(tuple, registry[key].itertuples(index=False))
+    )
+
+    thr = 0.3
+    gated = build_training_corpus(
+        spark, sf_dir, span_drop_threshold=thr
+    ).toPandas()
+    prof = REGISTRY["dedup_span_coverage"].spark(spark, sf_dir).toPandas()
+    too_dup = set(prof[prof["dup_fraction"] > thr]["doc_id"])
+    assert too_dup, "fixture has no span-heavy docs — threshold too high"
+    expect = set(default["doc_id"]) - too_dup
+    assert set(gated["doc_id"]) == expect
+    assert set(gated["doc_id"]).isdisjoint(too_dup)
