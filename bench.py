@@ -84,6 +84,7 @@ HEADLINE = [
     "corpus_shard_sequences",
     "corpus_datasheet",
     "corpus_pack_payload",
+    "decontaminate_fuzzy",
 ]
 
 

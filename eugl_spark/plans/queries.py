@@ -7840,6 +7840,138 @@ def pack_payload_from(
     )
 
 
+# Fuzzy decontamination — the family's third member (exact 5-gram
+# semi-join → Bloom scale path → NEAR-DUP): a train doc is flagged
+# when it is a near-duplicate of ANY eval (test-split) doc, catching
+# paraphrased/templated eval leakage that exact n-gram overlap misses.
+# Candidate-then-verify, the dedup_clusters_lsh recipe pointed across
+# the split boundary: MinHash band collisions (train band × test
+# band — the test side is the eval set, small by construction)
+# propose pairs, exact jaccard over the shingle SETS verifies each
+# (array_intersect — no posting explosion), same edge rule as the
+# dedup family (c ≥ 2 floor + round-6dp threshold). Never doc×doc.
+_FUZZY_DECON_J = 0.5
+
+
+@q(
+    "decontaminate_fuzzy",
+    f"""
+    WITH shs AS (
+      SELECT doc_id, split, sh FROM (
+        SELECT doc_id,
+          CASE WHEN {_SPLIT_HASH_SQL} < 80 THEN 'train'
+               WHEN {_SPLIT_HASH_SQL} < 90 THEN 'val'
+               ELSE 'test' END AS split,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 0)),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        FROM (SELECT doc_id, source,
+                regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+              FROM documents WHERE text IS NOT NULL))
+      WHERE len(sh) > 0 AND split <> 'val'
+    ), e AS (
+      SELECT doc_id, split, {_MH_HASH_SQL} AS hm
+      FROM (SELECT doc_id, split, unnest(sh) AS s FROM shs)
+    ), sig AS (
+      SELECT doc_id, split, {_MH_MINS_SQL} FROM e GROUP BY doc_id, split
+    ), bands AS (
+      SELECT doc_id, split, concat('b0_', mh0, '_', mh1) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, split, concat('b1_', mh2, '_', mh3) AS band FROM sig
+    ), cand AS (
+      SELECT DISTINCT tr.doc_id AS tr_id, te.doc_id AS te_id
+      FROM bands tr JOIN bands te ON tr.band = te.band
+      WHERE tr.split = 'train' AND te.split = 'test'
+    ), verify AS (
+      SELECT c.tr_id,
+        len(list_intersect(sa.sh, sb.sh)) AS c2,
+        len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.tr_id
+      JOIN shs sb ON sb.doc_id = c.te_id
+    )
+    SELECT DISTINCT tr_id AS doc_id FROM verify
+    WHERE c2 >= 2 AND
+      round(CAST(c2 AS DOUBLE) / (na + nb - c2), 6) >= {_FUZZY_DECON_J}
+    """,
+    "Training-data op: fuzzy decontamination — train docs that are "
+    "NEAR-duplicates (MinHash band candidates, exact-jaccard verify "
+    "≥ 0.5) of any eval-split doc are flagged for removal; catches "
+    "paraphrased/templated eval leakage that exact n-gram overlap "
+    "misses.",
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """Band frames split-partition BEFORE the candidate join, so the
+    join is train-bands × test-bands — the probe side is the eval
+    set's bands (O(eval) rows, broadcastable in production no matter
+    how large the train corpus grows). Verify joins the two shingle
+    ARRAYS per candidate (array_intersect), never the posting lists;
+    edge rule shared with the dedup family."""
+    from eugl_spark.models.signatures import minhash_sig_udf
+
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        F.col("doc_id"),
+    )
+    base = df.select(
+        "doc_id",
+        _split_col().alias("split"),
+        _once(H.tokens(F.col("text"))).alias("toks"),
+    )
+    shs = checkpoint_df(
+        _shingles_from(base.select("doc_id", "toks"))
+        .join(base.select("doc_id", "split"), "doc_id")
+        .filter(F.col("split") != "val")
+    )
+    sig = shs.select(
+        "doc_id", "split", minhash_sig_udf("sh").alias("_s")
+    ).select("doc_id", "split", "_s.*")
+    bands = checkpoint_df(
+        sig.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("b0_"), "mh0", F.lit("_"), "mh1"),
+                    F.concat(F.lit("b1_"), "mh2", F.lit("_"), "mh3"),
+                )
+            ).alias("band"),
+        )
+    )
+    cand = (
+        bands.filter(F.col("split") == "train")
+        .select(F.col("doc_id").alias("tr_id"), "band")
+        .join(
+            F.broadcast(
+                bands.filter(F.col("split") == "test").select(
+                    F.col("doc_id").alias("te_id"), "band"
+                )
+            ),
+            "band",
+        )
+        .select("tr_id", "te_id")
+        .distinct()
+    )
+    pair = cand.join(
+        shs.select(F.col("doc_id").alias("tr_id"), F.col("sh").alias("sh_a")),
+        "tr_id",
+    ).join(
+        shs.select(F.col("doc_id").alias("te_id"), F.col("sh").alias("sh_b")),
+        "te_id",
+    )
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = F.round(
+        F.try_divide(c, F.size("sh_a") + F.size("sh_b") - c), 6
+    )
+    return (
+        pair.select("tr_id", c.alias("c2"), j.alias("j"))
+        .filter((F.col("c2") >= 2) & (F.col("j") >= _FUZZY_DECON_J))
+        .select(F.col("tr_id").alias("doc_id"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry snapshot order. The driver's correctness gate snapshots the
 # FIRST 50 registrations, so the dict order is part of the external

@@ -233,6 +233,9 @@ _DOC_QUERIES = [
     "corpus_shard_sequences",
     "corpus_datasheet",
     "corpus_pack_payload",
+    # fuzzy decon: the hard corpus' dup families + null-source docs
+    # exercise the cross-split band join and the null-split hash
+    "decontaminate_fuzzy",
 ]
 
 

@@ -661,3 +661,55 @@ def test_capstone_span_drop_gate(spark, sf_dir):
     expect = set(default["doc_id"]) - too_dup
     assert set(gated["doc_id"]) == expect
     assert set(gated["doc_id"]).isdisjoint(too_dup)
+
+
+def test_fuzzy_decontamination_sound_and_catches_identical(spark, sf_dir):
+    """Candidate-then-verify contract: everything flagged IS a true
+    near-dup of some eval doc (soundness vs a brute-force jaccard over
+    train×test shingle sets), and every train doc with an IDENTICAL
+    shingle set to an eval doc is flagged (identical sets → identical
+    minhash signatures → same bands → candidate → jaccard 1.0 — the
+    recall floor banding can never miss)."""
+    from pyspark.sql import functions as F
+
+    from eugl_spark.plans.queries import (
+        _FUZZY_DECON_J,
+        _shingles,
+        _split_col,
+        REGISTRY,
+    )
+
+    flagged = {
+        r["doc_id"]
+        for r in REGISTRY["decontaminate_fuzzy"].spark(spark, sf_dir).collect()
+    }
+    assert flagged, "fixture has no cross-split near-dups"
+    sh = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in _shingles(spark, sf_dir).collect()
+    }
+    split = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", _split_col().alias("split"))
+        .collect()
+    }
+    train = [d for d in sh if split[d] == "train"]
+    test = [d for d in sh if split[d] == "test"]
+    def jac(a, b):
+        c = len(sh[a] & sh[b])
+        return c / (len(sh[a]) + len(sh[b]) - c) if c else 0.0
+    true_near = {
+        t
+        for t in train
+        if any(
+            len(sh[t] & sh[e]) >= 2
+            and round(jac(t, e), 6) >= _FUZZY_DECON_J
+            for e in test
+        )
+    }
+    assert flagged <= true_near
+    identical = {
+        t for t in train if any(sh[t] == sh[e] and len(sh[t]) >= 2 for e in test)
+    }
+    assert identical <= flagged
