@@ -85,6 +85,8 @@ HEADLINE = [
     "corpus_datasheet",
     "corpus_pack_payload",
     "decontaminate_fuzzy",
+    "ann_pq_codes",
+    "ann_pq_topk",
 ]
 
 

@@ -4997,20 +4997,34 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-_KM_DIST_SQL = (
-    "list_sum(list_transform(generate_series(1, 64),"
-    " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
-    " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
-)
+def _km_dist_sql(dim: int = 64) -> str:
+    """Squared-euclidean fold between e.embedding and c.cvec over the
+    first ``dim`` coordinates — parameterized for the PQ subspace
+    twins; the default reproduces the full-vector string verbatim."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+    )
 
 
-def _km_assign_sql(a: str, c: str, top_n: int = 1, where: str = "") -> str:
+_KM_DIST_SQL = _km_dist_sql()
+
+
+def _km_assign_sql(
+    a: str,
+    c: str,
+    top_n: int = 1,
+    where: str = "",
+    src: str = "embeddings",
+    dim: int = 64,
+) -> str:
     return f"""{a} AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY {_KM_DIST_SQL}, c.cell) AS rn
-        FROM embeddings e CROSS JOIN {c} c
+            ORDER BY {_km_dist_sql(dim)}, c.cell) AS rn
+        FROM {src} e CROSS JOIN {c} c
         {where})
       WHERE rn <= {top_n}
     )"""
@@ -7969,6 +7983,200 @@ def decontaminate_fuzzy(spark, sf_dir):
         .filter((F.col("c2") >= 2) & (F.col("j") >= _FUZZY_DECON_J))
         .select(F.col("tr_id").alias("doc_id"))
         .distinct()
+    )
+
+
+# Product quantization (PQ) — the ANN family's production endgame
+# (IVF-PQ is how web-scale vector search actually ships): the vector
+# splits into M subspaces, each subspace trains its OWN K-centroid
+# codebook (the proven Lloyd supersteps over sliced vectors —
+# _kmeans_centroids works unchanged on a sliced frame), and every
+# vector compresses to M small codes. Query-side ADC (asymmetric
+# distance computation) never touches the original vectors: the query
+# computes M tiny distance tables (K rows each, one per codebook),
+# and each database vector's approximate distance is M table lookups
+# summed — here two broadcast equi-joins on (code, q_id), never a
+# K^M product and never a full-vector scan. Model state is M×K
+# centroid rows; the 100-TB shape is codes-only storage (M bytes per
+# vector vs 4·dim) with the codebooks broadcast.
+_PQ_M = 2
+_PQ_SUBDIM = 32  # embedding dim 64 split in half
+
+
+def _pq_sub(emb: DataFrame, s: int) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.slice(
+            "embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+        ).alias("embedding"),
+    )
+
+
+def _pq_ctes() -> str:
+    """Per-subspace unrolled Lloyd (the _kmeans_ctes recipe over
+    sliced vectors) ending in codes(vec_id, code0, code1)."""
+    ctes = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        ctes.append(
+            f"""sub{s} AS (
+      SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings
+    )"""
+        )
+        ctes.append(
+            f"""s{s}c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+        list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+      FROM sub{s} WHERE vec_id < {_KMEANS_K}
+    )"""
+        )
+        for i in range(_KMEANS_ITERS):
+            ctes.append(
+                _km_assign_sql(
+                    f"s{s}a{i}",
+                    f"s{s}c{i}",
+                    src=f"sub{s}",
+                    dim=_PQ_SUBDIM,
+                )
+            )
+            ctes.append(_km_update_sql(f"s{s}c{i + 1}", f"s{s}a{i}"))
+        ctes.append(
+            _km_assign_sql(
+                f"s{s}a{_KMEANS_ITERS}",
+                f"s{s}c{_KMEANS_ITERS}",
+                src=f"sub{s}",
+                dim=_PQ_SUBDIM,
+            )
+        )
+    ctes.append(
+        f"""codes AS (
+      SELECT a.vec_id, a.cell AS code0, b.cell AS code1
+      FROM s0a{_KMEANS_ITERS} a
+      JOIN s1a{_KMEANS_ITERS} b ON b.vec_id = a.vec_id
+    )"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+@q(
+    "ann_pq_codes",
+    _pq_ctes()
+    + """
+    SELECT code0, code1, CAST(count(*) AS BIGINT) AS n,
+      min(vec_id) AS min_id
+    FROM codes GROUP BY code0, code1
+    """,
+    "Product quantization encode: per-subspace trained codebooks "
+    "(Lloyd supersteps over sliced vectors) compress every vector to "
+    "(code0, code1); output = the code histogram — the compressed "
+    "representation's occupancy map.",
+)
+def ann_pq_codes(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    parts = []
+    for s in range(_PQ_M):
+        sub = _pq_sub(emb, s)
+        parts.append(
+            _kmeans_assign(sub, _kmeans_centroids(sub)).select(
+                "vec_id", F.col("cell").alias(f"code{s}")
+            )
+        )
+    return (
+        parts[0]
+        .join(parts[1], "vec_id")
+        .groupBy("code0", "code1")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("vec_id").alias("min_id"),
+        )
+    )
+
+
+def _pq_query_dists(qsub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(q_id, cell, d): the ADC distance table — each query sub-vector
+    against every codebook centroid, 6dp-rounded (the k-means
+    determinism recipe). K rows per query; broadcastable always."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return qsub.crossJoin(F.broadcast(cb)).select(
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.round(dist, 6).alias("d"),
+    )
+
+
+@q(
+    "ann_pq_topk",
+    _pq_ctes()
+    + f""",
+    qsub0 AS (SELECT vec_id, embedding[1:{_PQ_SUBDIM}] AS embedding
+              FROM embeddings WHERE vec_id < 10),
+    qsub1 AS (SELECT vec_id, embedding[{_PQ_SUBDIM + 1}:{2 * _PQ_SUBDIM}]
+                AS embedding
+              FROM embeddings WHERE vec_id < 10),
+    qd0 AS (SELECT e.vec_id AS q_id, c.cell,
+              round({_km_dist_sql(_PQ_SUBDIM)}, 6) AS d
+            FROM qsub0 e CROSS JOIN s0c{_KMEANS_ITERS} c),
+    qd1 AS (SELECT e.vec_id AS q_id, c.cell,
+              round({_km_dist_sql(_PQ_SUBDIM)}, 6) AS d
+            FROM qsub1 e CROSS JOIN s1c{_KMEANS_ITERS} c),
+    adc AS (
+      SELECT d0.q_id, n.vec_id AS n_id, round(d0.d + d1.d, 6) AS ad
+      FROM codes n
+      JOIN qd0 d0 ON d0.cell = n.code0
+      JOIN qd1 d1 ON d1.cell = n.code1 AND d1.q_id = d0.q_id
+      WHERE n.vec_id <> d0.q_id)
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+    "PQ asymmetric-distance top-k: the query builds per-subspace "
+    "distance tables against the trained codebooks and every database "
+    "vector's approximate distance is two table lookups summed — "
+    "codes + codebooks only, the original vectors never rejoin.",
+)
+def ann_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs, code_parts = [], []
+    for s in range(_PQ_M):
+        sub = _pq_sub(emb, s)
+        cb = checkpoint_df(_kmeans_centroids(sub))
+        cbs.append(cb)
+        code_parts.append(
+            _kmeans_assign(sub, cb).select(
+                "vec_id", F.col("cell").alias(f"code{s}")
+            )
+        )
+    codes = code_parts[0].join(code_parts[1], "vec_id")
+    q = emb.filter(F.col("vec_id") < 10)
+    qd0 = _pq_query_dists(_pq_sub(q, 0), cbs[0]).select(
+        "q_id", F.col("cell").alias("code0"), F.col("d").alias("d0")
+    )
+    qd1 = _pq_query_dists(_pq_sub(q, 1), cbs[1]).select(
+        "q_id", F.col("cell").alias("code1"), F.col("d").alias("d1")
+    )
+    w = W.partitionBy("q_id").orderBy("ad", "n_id")
+    return (
+        codes.select(F.col("vec_id").alias("n_id"), "code0", "code1")
+        .join(F.broadcast(qd0), "code0")
+        .join(F.broadcast(qd1), ["code1", "q_id"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("d0") + F.col("d1"), 6).alias("ad"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank")
     )
 
 

@@ -146,3 +146,46 @@ def test_cluster_output_is_actionable_drop_set(spark, sf_dir):
     )
     assert (per_cluster.n_keep == 1).all()
     assert (per_cluster.index == per_cluster.min_id).all()
+
+
+def test_pq_adc_recall_beats_random_floor(spark, sf_dir):
+    """PQ ADC top-5 must carry real signal: recall@5 vs the EXACT
+    euclidean top-5 ≥ 0.1 — ≥10× the ≈0.01 expectation of drawing 5
+    random neighbors from the 499 candidates. The toy codebook (M=2
+    subspaces × K=8 centroids = 64 cells over 500 vectors) is
+    deliberately coarse — production PQ is M=8..16 × K=256 — so the
+    pinned floor is a signal gate, not a quality claim; and the code
+    histogram must show the codebooks actually partition (≥ half the
+    theoretical cells occupied, no cell holding the majority)."""
+    import numpy as np
+
+    from eugl_spark.plans.queries import REGISTRY
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    exact = {
+        qid: {
+            n
+            for _, n in sorted(
+                (float(np.sum((emb[qid] - emb[n]) ** 2)), n)
+                for n in emb
+                if n != qid
+            )[:5]
+        }
+        for qid in range(10)
+    }
+    got: dict[int, set] = {}
+    for r in REGISTRY["ann_pq_topk"].spark(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], set()).add(r["n_id"])
+    recall = sum(len(got[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.1, f"ADC recall@5 {recall} below the signal floor"
+
+    hist = REGISTRY["ann_pq_codes"].spark(spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in hist)
+    assert n_total == len(emb)
+    assert len(hist) >= 32, f"only {len(hist)}/64 code cells occupied"
+    assert max(r["n"] for r in hist) < n_total / 2

@@ -61,6 +61,8 @@ _EMB_QUERIES = [
     "ann_ivf_topk",
     "ann_kmeans_cells",
     "ann_kmeans_topk",
+    "ann_pq_codes",
+    "ann_pq_topk",
     "ann_knn_label_vote",
     "dedup_embedding_clusters",
     "embedding_stats",
