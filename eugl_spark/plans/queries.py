@@ -8012,6 +8012,116 @@ def _pq_sub(emb: DataFrame, s: int) -> DataFrame:
     )
 
 
+def _pq_stacked(emb: DataFrame) -> DataFrame:
+    """All M subspace slices as ONE frame keyed by subspace id — the
+    fused-training input. Training M codebooks as M sequential Lloyd
+    loops costs M× the superstep/checkpoint latency (the driver-
+    coordinated round trips, not the data volume, dominate at small K);
+    stacking trains every codebook in the SAME supersteps — at
+    production M=8..16 that is 8–16× fewer sequential jobs. Every
+    Lloyd op below keys on (s, …), so the fused result is bit-identical
+    to per-subspace training (the DuckDB twins still train
+    per-subspace and the oracle hashes pin the equivalence)."""
+    subs = [
+        _pq_sub(emb, s).select(
+            F.lit(s).alias("s"), "vec_id", "embedding"
+        )
+        for s in range(_PQ_M)
+    ]
+    out = subs[0]
+    for sub in subs[1:]:
+        out = out.unionAll(sub)
+    return out
+
+
+def _pq_assign(
+    st: DataFrame, cent: DataFrame, top_n: int = 1
+) -> DataFrame:
+    """Fused (s, vec_id) → cell assignment: the _kmeans_assign recipe
+    with the subspace id joined through — broadcast M·K centroid rows,
+    rank per (s, vec_id) with the same (dist, cell) tie-break."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("s", "vec_id").orderBy("dist", "cell")
+    return (
+        st.join(F.broadcast(cent), "s")
+        .withColumn("dist", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .select("s", "vec_id", "embedding", "cell")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Fused centroid update: per-(s, cell, position) mean rounded to
+    6dp — the _kmeans_update math with the subspace key carried."""
+    return (
+        assigned.select(
+            "s", "cell", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("s", "cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy("s", "cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_pm")
+        )
+        .select(
+            "s",
+            "cell",
+            F.transform(F.col("_pm"), lambda x: x.getField("m")).alias(
+                "cvec"
+            ),
+        )
+    )
+
+
+def _pq_codebooks(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(stacked, codebooks): train every subspace codebook in ONE
+    fused Lloyd loop — _KMEANS_ITERS supersteps total instead of
+    M × _KMEANS_ITERS. Init mirrors _kmeans_centroids: the first K
+    vectors of each subspace, 6dp-rounded."""
+    st = checkpoint_df(_pq_stacked(emb))
+    cent = checkpoint_df(
+        st.filter(F.col("vec_id") < _KMEANS_K).select(
+            "s",
+            F.col("vec_id").cast("int").alias("cell"),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("cvec"),
+        )
+    )
+    for _ in range(_KMEANS_ITERS):
+        cent = checkpoint_df(_pq_update(_pq_assign(st, cent)))
+    return st, cent
+
+
+def _pq_codes_wide(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebooks): fused training + fused assignment, then the
+    long (s, vec_id, cell) frame pivots to one row per vector via
+    conditional aggregation (deterministic — exactly one cell per
+    (s, vec_id))."""
+    st, cent = _pq_codebooks(emb)
+    long = _pq_assign(st, cent).select("s", "vec_id", "cell")
+    codes = long.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("s") == s, F.col("cell"))
+            ).alias(f"code{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    return codes, cent
+
+
 def _pq_ctes() -> str:
     """Per-subspace unrolled Lloyd (the _kmeans_ctes recipe over
     sliced vectors) ending in codes(vec_id, code0, code1)."""
@@ -8073,22 +8183,10 @@ def _pq_ctes() -> str:
 )
 def ann_pq_codes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    parts = []
-    for s in range(_PQ_M):
-        sub = _pq_sub(emb, s)
-        parts.append(
-            _kmeans_assign(sub, _kmeans_centroids(sub)).select(
-                "vec_id", F.col("cell").alias(f"code{s}")
-            )
-        )
-    return (
-        parts[0]
-        .join(parts[1], "vec_id")
-        .groupBy("code0", "code1")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.min("vec_id").alias("min_id"),
-        )
+    codes, _ = _pq_codes_wide(emb)
+    return codes.groupBy("code0", "code1").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("vec_id").alias("min_id"),
     )
 
 
@@ -8145,22 +8243,18 @@ def _pq_query_dists(qsub: DataFrame, cb: DataFrame) -> DataFrame:
 )
 def ann_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cbs, code_parts = [], []
-    for s in range(_PQ_M):
-        sub = _pq_sub(emb, s)
-        cb = checkpoint_df(_kmeans_centroids(sub))
-        cbs.append(cb)
-        code_parts.append(
-            _kmeans_assign(sub, cb).select(
-                "vec_id", F.col("cell").alias(f"code{s}")
-            )
-        )
-    codes = code_parts[0].join(code_parts[1], "vec_id")
+    codes, cent = _pq_codes_wide(emb)
     q = emb.filter(F.col("vec_id") < 10)
-    qd0 = _pq_query_dists(_pq_sub(q, 0), cbs[0]).select(
+    qd0 = _pq_query_dists(
+        _pq_sub(q, 0),
+        cent.filter(F.col("s") == 0).select("cell", "cvec"),
+    ).select(
         "q_id", F.col("cell").alias("code0"), F.col("d").alias("d0")
     )
-    qd1 = _pq_query_dists(_pq_sub(q, 1), cbs[1]).select(
+    qd1 = _pq_query_dists(
+        _pq_sub(q, 1),
+        cent.filter(F.col("s") == 1).select("cell", "cvec"),
+    ).select(
         "q_id", F.col("cell").alias("code1"), F.col("d").alias("d1")
     )
     w = W.partitionBy("q_id").orderBy("ad", "n_id")
