@@ -187,10 +187,22 @@ def apply_pipeline(
         # blocks (link farm) verdicts no_content. The block chain is
         # pure Catalyst (functions/boilerplate.py): still one scan,
         # still a single Arrow boundary, zero extra shuffles.
+        #
+        # The chain runs ONLY on rows whose content column is actually
+        # consumed below (text null, not condemned): `when()` evaluates
+        # its value branch lazily per row, so rows that already carry
+        # extracted text skip the whole per-block regex cascade — on a
+        # mixed crawl most rows — instead of paying it for a value
+        # coalesce() then discards.
         from eugl_spark.functions.boilerplate import with_content_column
 
         pages = with_content_column(
-            pages, F.col("html").cast("string"), "_bp_content"
+            pages,
+            F.when(
+                F.col("text").isNull() & ~condemned,
+                F.col("html").cast("string"),
+            ),
+            "_bp_content",
         )
         content = F.col("_bp_content")
         text_in = F.when(

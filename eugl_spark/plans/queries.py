@@ -3262,38 +3262,50 @@ def _span_hits_from_toks(tk: DataFrame, n: int = _SPAN_N) -> DataFrame:
     return checkpoint_df(grams.join(dup, "gh").select("doc_id", "i"))
 
 
+def _span_cov_agg(hits: DataFrame, n: int) -> DataFrame:
+    """(doc_id, i) hit frame → one row per doc: duplicated-gram count
+    and the DISTINCT covered-position array.
+
+    Replaces the old bounded-≤n× position explode + countDistinct /
+    distinct-then-anti-join shuffles (guide §2.3 «shuffle fewer
+    bytes»): the interval union is a per-doc ARRAY expression —
+    collect the hit starts (one small groupBy over the hits frame,
+    which holds only duplicated grams), expand each to its n covered
+    positions and array_distinct in place. Per-doc state is O(doc
+    length) ints — the same bound as holding the toks row."""
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams"),
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("i"), F.col("i") + (n - 1)))
+            )
+        ).alias("_cov"),
+    )
+
+
 def span_coverage_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     """(doc_id, text, …) → per-doc duplicated-span stats (library
     surface of dedup_span_coverage; see its oracle for the contract).
 
-    Shared _span_tk_hits stages, then a bounded ≤n× position explode
-    for the interval union."""
+    Shared _span_tk_hits stages, then one per-doc hit aggregation —
+    the covered-token union is a native array expression
+    (_span_cov_agg), no position explode, no countDistinct shuffle."""
     tk, hits = _span_tk_hits(docs, n)
-    dg = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
-    cov = (
-        hits.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + (n - 1))
-            ).alias("p"),
-        )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("p").alias("covered"))
-    )
+    hg = _span_cov_agg(hits, n)
     nt = F.col("n_tokens")
+    covered = F.size("_cov").cast("long")
     return (
         tk.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-        .join(dg, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        .join(hg, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
-            F.coalesce("covered", F.lit(0)).alias("covered_tokens"),
+            F.coalesce(covered, F.lit(0)).alias("covered_tokens"),
             F.when(
                 nt > 0,
                 F.round(
-                    F.coalesce("covered", F.lit(0)).cast("double") / nt, 6
+                    F.coalesce(covered, F.lit(0)).cast("double") / nt, 6
                 ),
             )
             .otherwise(F.lit(0.0))
@@ -3370,55 +3382,45 @@ def remove_spans_from(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     """(doc_id, text, …) → cleaned token stream after exact-substring
     removal (library surface of dedup_remove_spans).
 
-    Shared _span_tk_hits stages, then: hits → bounded ≤n× explode to
-    covered positions, distinct; token positions LEFT-ANTI join the
-    covered set on (doc_id, p) — both sides hash-partition on the
-    same compound key, one exchange each, never a doc×doc compare —
-    and the survivors reassemble per doc via
-    sort_array(collect_list(struct(p, tok))), deterministic because p
-    is unique per doc. Per-doc state is O(doc length) — the same
-    bound as holding the input row. At 100 TB every frame here is
-    O(corpus tokens) rows of (int64, int32[, short token]) — the same
-    scale the gram-hash stage already shuffles."""
+    Shared _span_tk_hits stages, then one per-doc hit aggregation
+    (_span_cov_agg) joined back onto the token frame; the cut and the
+    reassembly are native array expressions per row — kept positions
+    = array_except(sequence(1, ntok), covered) (hash-set based, order
+    of the first array preserved, O(ntok + |covered|)), clean_text a
+    concat over element_at lookups. The old shape exploded EVERY
+    token position into a row, anti-joined on (doc_id, p) and
+    re-collected per doc — three O(corpus tokens) shuffles this plan
+    no longer has (guide §2.3/§2.4); the only shuffled frames left
+    are the gram-hash stages and the O(duplicated grams) hit frame.
+    Per-doc state is O(doc length) — the same bound as holding the
+    input row."""
     tk, hits = _span_tk_hits(docs, n)
-    covd = (
-        hits.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + (n - 1))
-            ).alias("p"),
-        )
-        .distinct()
+    hg = _span_cov_agg(hits, n).select("doc_id", "_cov")
+    positions = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    keep_pos = F.array_except(
+        positions, F.coalesce("_cov", F.array().cast("array<int>"))
     )
-    tokpos = tk.select("doc_id", F.posexplode("toks")).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("p"),
-        F.col("col").alias("tok"),
-    )
-    agg = (
-        tokpos.join(covd, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("kept_tokens"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-        )
-    )
-    kept = F.coalesce("kept_tokens", F.lit(0)).cast("long")
     return (
-        tk.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-        .join(agg, "doc_id", "left")
+        tk.join(hg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            keep_pos.alias("_kp"),
+            F.col("toks"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            kept.alias("kept_tokens"),
-            (F.col("n_tokens") - kept).cast("long").alias("removed_tokens"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("_kp").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("_kp")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.concat_ws(
+                " ",
+                F.transform("_kp", lambda p: F.element_at("toks", p)),
+            ).alias("clean_text"),
         )
     )
 
@@ -4416,59 +4418,71 @@ def _lc_dot(wv: Column) -> Column:
     )
 
 
+def _round6_half_up(v: float | None) -> float | None:
+    """Driver-side twin of F.round(col, 6): exact binary expansion of
+    the double, then HALF_UP at 6dp — bit-identical to Catalyst's
+    BigDecimal rounding (and DuckDB's round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if v is None:
+        return None
+    return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _lc_train(feats: DataFrame) -> DataFrame:
-    """Full-batch GD as supersteps: broadcast the 1-row weight frame,
-    score, per-feature round(avg, 6) gradient (a {_LC_NFEAT}-row
-    shuffle), update, re-round, checkpoint. Model state is O(features)
-    however large the corpus — the k-means-centroid pattern.
+    """Full-batch GD as supersteps. The model is O(features) driver
+    state (the k-means-centroid / CC-fixpoint scalar-probe class), so
+    each iteration is ONE slim aggregation job: per-feature
+    round(avg((y−p)·x[j]), 6) as {_LC_NFEAT} static agg columns —
+    map-side partial aggregation, a {_LC_NFEAT}-value result row, no
+    per-feature row explode, no weight-frame checkpoint, no broadcast
+    (the current weights enter the plan as literals — exactly the
+    values the old broadcast row carried). The update
+    round(w + lr·grad, 6) runs on the driver with the same HALF_UP
+    rule as F.round (_round6_half_up), so the trained vector is
+    bit-identical to the superstep-frame formulation (oracle-pinned).
 
     Pass a checkpoint_df'd feature frame: every iteration consumes it
     once, and un-materialized it would re-run the scan + tokenizer +
     heuristic metrics per superstep."""
     spark = feats.sparkSession
-    w = spark.createDataFrame([([0.0] * _LC_NFEAT,)], "wv array<double>")
+    wv: list[float | None] = [0.0] * _LC_NFEAT
     for _ in range(_LC_ITERS):
-        p = (
-            feats.crossJoin(F.broadcast(w))
-            .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-_lc_dot(F.col("wv")))))
+        if any(v is None for v in wv):  # degenerate (empty input) fixpoint
+            break
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.array(*[F.lit(v) for v in wv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        g = (
-            p.select(
-                "y",
-                "p",
-                "x",
-                F.explode(F.sequence(F.lit(1), F.lit(_LC_NFEAT))).alias("pos"),
-            )
-            .groupBy("pos")
-            .agg(
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+        # _once: a Generate barrier so the exp() scores once per row
+        # instead of once per gradient column (projection collapse
+        # would otherwise inline it into every agg expression)
+        scored = feats.select("y", "x").withColumn("p", _once(p))
+        g = scored.agg(
+            *[
                 F.round(
                     F.avg(
                         (F.col("y") - F.col("p"))
-                        * F.element_at("x", F.col("pos"))
+                        * F.element_at("x", F.lit(j + 1))
                     ),
                     6,
-                ).alias("grad")
-            )
-        )
-        w = checkpoint_df(
-            g.crossJoin(F.broadcast(w))
-            .select(
-                "pos",
-                F.round(
-                    F.element_at("wv", F.col("pos")) + _LC_LR * F.col("grad"), 6
-                ).alias("wf"),
-            )
-            .groupBy()
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "wf"))
-                ).alias("_pw")
-            )
-            .select(
-                F.transform("_pw", lambda s: s.getField("wf")).alias("wv")
-            )
-        )
-    return w
+                ).alias(f"g{j}")
+                for j in range(_LC_NFEAT)
+            ]
+        ).collect()[0]
+        wv = [
+            None
+            if g[f"g{j}"] is None or wv[j] is None
+            else _round6_half_up(wv[j] + _LC_LR * g[f"g{j}"])
+            for j in range(_LC_NFEAT)
+        ]
+    return spark.createDataFrame([(wv,)], "wv array<double>")
 
 
 _LC_NAMES_SQL = "[" + ", ".join(f"'{n}'" for n in _LC_NAMES) + "]"
@@ -5571,21 +5585,21 @@ def build_training_corpus(
     )
     if span_drop_threshold is not None:
         hits = _span_hits_from_toks(base.select("doc_id", "toks"))
-        cov = (
-            hits.select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
-                ).alias("p"),
-            )
-            .groupBy("doc_id")
-            .agg(F.countDistinct("p").alias("covered"))
+        cov = _span_cov_agg(hits, _SPAN_N).select(
+            "doc_id", F.size("_cov").cast("long").alias("covered")
         )
+        # EXACTLY dedup_span_coverage's rule — round(covered/ntok, 6)
+        # compared to the threshold — so the gate and the profile can
+        # never disagree on a sub-ulp boundary (ADVICE r6 #1; the old
+        # unrounded `covered > ntok*t` dropped docs whose rounded
+        # dup_fraction equals t)
         span_drop = (
             cov.join(base.select("doc_id", "ntok"), "doc_id")
             .filter(
-                F.col("covered")
-                > F.col("ntok") * F.lit(float(span_drop_threshold))
+                F.round(
+                    F.col("covered").cast("double") / F.col("ntok"), 6
+                )
+                > F.lit(float(span_drop_threshold))
             )
             .select("doc_id")
         )

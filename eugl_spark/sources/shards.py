@@ -63,7 +63,16 @@ def write_training_shards(seqs: DataFrame, out_dir: str) -> DataFrame:
                         close(emitted)
                     name = f"shard-{shard:05d}.txt"
                     final = os.path.join(out_dir, name)
-                    tmp = os.path.join(out_dir, f"_tmp.{name}")
+                    # attempt-unique tmp (ADVICE r6 #2): under
+                    # speculative execution / zombie retries two
+                    # attempts of one partition write concurrently,
+                    # and a SHARED tmp name could publish interleaved
+                    # bytes; the rename itself stays atomic
+                    from pyspark import TaskContext
+
+                    tc = TaskContext.get()
+                    att = tc.taskAttemptId() if tc is not None else os.getpid()
+                    tmp = os.path.join(out_dir, f"_tmp.{att}.{name}")
                     cur = [shard, open(tmp, "wb"), hashlib.sha256(), 0,
                            tmp, final]
                 line = (text + "\n").encode("utf-8")

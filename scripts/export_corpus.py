@@ -43,7 +43,6 @@ def main() -> int:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     from eugl_spark.plans.queries import build_training_corpus
     from eugl_spark.sources.shards import export_training_shards
