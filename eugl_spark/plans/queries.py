@@ -4965,35 +4965,68 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
 
-def _kmeans_assign(
-    emb: DataFrame, centroids: DataFrame, top_n: int = 1
-) -> DataFrame:
-    """The vector→centroid rank join (squared euclidean, ties →
-    smallest centroid id): top_n=1 is cell assignment, top_n>1 is the
-    query-side probe list — ONE definition so the distance/tie-break
-    recipe can't desynchronize between the two uses. Broadcast join:
-    the model state is K rows however large the corpus."""
-    dist = F.aggregate(
+def _km_dists_arr() -> Column:
+    """Per-row (d, cell) struct array over the broadcast codebook
+    column ``_cb`` (array of (cell, cvec) structs sorted by cell):
+    the squared-euclidean fold per centroid, identical term order to
+    the old per-pair expression."""
+    dist_to = lambda cvec: F.aggregate(  # noqa: E731
         F.zip_with(
             F.col("embedding"),
-            F.col("cvec"),
+            cvec,
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = W.partitionBy("vec_id").orderBy("dist", "cell")
+    return F.transform(
+        F.col("_cb"),
+        lambda s: F.struct(
+            dist_to(s["cvec"]).alias("d"), s["cell"].alias("cell")
+        ),
+    )
+
+
+def _kmeans_assign(
+    emb: DataFrame, centroids: DataFrame, top_n: int = 1
+) -> DataFrame:
+    """The vector→centroid argmin (squared euclidean, ties → smallest
+    centroid id): top_n=1 is cell assignment, top_n>1 is the
+    query-side probe list — ONE definition so the distance/tie-break
+    recipe can't desynchronize between the two uses.
+
+    Shape (guide §2.4): the K-row model collapses to ONE broadcast
+    row holding the codebook as a struct array, and the rank is a
+    per-row array_sort over the per-centroid distance structs —
+    lexicographic struct order ≡ the old window's (dist, cell)
+    tie-break. The old plan materialized K rows per vector through a
+    full hash-partition + sort (window row_number); this one has no
+    exchange at all, so assignment runs at scan parallelism."""
+    cb = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cb")
+    )
     return (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", dist)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_n)
-        .select("vec_id", "embedding", "cell")
+        emb.join(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.slice(F.array_sort(_km_dists_arr()), 1, top_n)
+            ).alias("_dc"),
+        )
+        .select("vec_id", "embedding", F.col("_dc.cell").alias("cell"))
     )
 
 
 def _kmeans_update(assigned: DataFrame) -> DataFrame:
-    """New centroids: element-wise mean per cell, rounded to 6dp."""
+    """New centroids: element-wise mean per cell, rounded to 6dp.
+
+    Kept as posexplode → groupBy(cell, pos) → re-collect: measured
+    FASTER than the tempting dim-static-avg-columns aggregate (64 avg
+    buffers push the generated aggregate past codegen limits and the
+    whole stage falls back to interpreted eval — 0.42s vs 0.07s
+    marginal on the sf0.1 fixture), and the dim× explode is partially
+    aggregated map-side anyway."""
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cell", "pos")
@@ -5241,7 +5274,10 @@ def ann_kmeans_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = _kmeans_centroids(emb)
-    assigned = checkpoint_df(_kmeans_assign(emb, centroids))
+    # no checkpoint: the assignment is consumed exactly once (cands)
+    # and is now a map-only pass (fold argmin, no window exchange), so
+    # materializing it would only add a barrier job
+    assigned = _kmeans_assign(emb, centroids)
     # query probes: the same rank join as assignment, top_n=nprobe —
     # one distance/tie-break definition for both uses
     probes = _kmeans_assign(
@@ -8052,30 +8088,31 @@ def _pq_assign(
     st: DataFrame, cent: DataFrame, top_n: int = 1
 ) -> DataFrame:
     """Fused (s, vec_id) → cell assignment: the _kmeans_assign recipe
-    with the subspace id joined through — broadcast M·K centroid rows,
-    rank per (s, vec_id) with the same (dist, cell) tie-break."""
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    keyed by subspace — one broadcast codebook-array row PER subspace,
+    per-row array_sort argmin with the same (dist, cell) tie-break,
+    no window exchange (see _kmeans_assign)."""
+    cb = cent.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cb")
     )
-    w = W.partitionBy("s", "vec_id").orderBy("dist", "cell")
     return (
-        st.join(F.broadcast(cent), "s")
-        .withColumn("dist", dist)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_n)
-        .select("s", "vec_id", "embedding", "cell")
+        st.join(F.broadcast(cb), "s")
+        .select(
+            "s",
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.slice(F.array_sort(_km_dists_arr()), 1, top_n)
+            ).alias("_dc"),
+        )
+        .select("s", "vec_id", "embedding", F.col("_dc.cell").alias("cell"))
     )
 
 
 def _pq_update(assigned: DataFrame) -> DataFrame:
     """Fused centroid update: per-(s, cell, position) mean rounded to
-    6dp — the _kmeans_update math with the subspace key carried."""
+    6dp — the _kmeans_update math with the subspace key carried (and
+    the same posexplode shape; see _kmeans_update for why not
+    static-per-dimension agg columns)."""
     return (
         assigned.select(
             "s", "cell", F.posexplode("embedding").alias("pos", "x")
