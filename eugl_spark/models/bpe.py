@@ -250,19 +250,25 @@ def apply_bpe_counts(
     number. One concatenated symbol string per doc (pre-token
     boundaries guarded by ␞, which no trained rule can cross), K
     chained native replaces, then a numeric separator count:
-    symbols = ␟-chars/2 − 1, minus the (n_pre − 1) guards."""
-    toks = _clean_tokens(F.col(text_col))
-    # per-token "a␟␟b␟␟" fragments joined with the ␞ guard, padded
+    symbols = ␟-chars/2 − 1, minus the (n_pre − 1) guards.
+
+    Symbolization is ONE regexp_replace over the ␞-joined token
+    stream: every char (the ␞ guards included, via (?s)) gets its
+    ␟␟ suffix in a single codegen'd pass — byte-identical to the old
+    per-token regexp inside an interpreted transform() lambda, which
+    re-entered the regex engine once per token. The token array is
+    routed through a Generate barrier (explode(array(…))) so the
+    pre-tokenizer regex runs once per row, not once per consuming
+    expression."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.array(_clean_tokens(F.col(text_col)))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     sym = F.concat(
         F.lit(SEP + SEP),
-        F.array_join(
-            F.transform(
-                toks,
-                lambda t: F.regexp_replace(
-                    t, r"(?s)(.)", "$1" + SEP + SEP
-                ),
-            ),
-            BOUND + SEP + SEP,
+        F.regexp_replace(
+            F.array_join(toks, BOUND), r"(?s)(.)", "$1" + SEP + SEP
         ),
     )
     merged = sym
@@ -276,7 +282,7 @@ def apply_bpe_counts(
     n_merged = F.when(n_pre == 0, F.lit(0).cast("long")).otherwise(
         (n_sep / 2 - 1).cast("long") - (n_pre - 1)
     )
-    return docs.filter(F.col(text_col).isNotNull()).select(
+    return base.select(
         F.col(id_col),
         n_pre.alias("n_pre"),
         n_merged.alias("n_merged"),

@@ -7825,12 +7825,15 @@ def corpus_datasheet(spark, sf_dir):
 # Packed-sequence PAYLOAD materialization — where corpus_pack_sequences
 # reports per-sequence stats, this emits the sequences themselves: the
 # ordered token stream of each fixed-length window, i.e. the actual
-# training batches a loader reads. Same two-phase prefix-sum offsets,
-# then ONE posexplode of the token axis (gpos = strt + pos), one
-# exchange hash-partitioned on seq_id, and a per-sequence
-# sort_array(collect_list(struct)) reassembly bounded at seq_len
-# elements — O(corpus tokens) end to end, no global sort, per-group
-# state capped at one sequence.
+# training batches a loader reads. Same two-phase prefix-sum offsets;
+# the shuffle then carries one FRAGMENT row per (doc, overlapped
+# sequence) — the doc's token-slice for that window pre-joined to a
+# string — rather than one row per token (guide §2.3: shuffle fewer
+# bytes; same corpus_pack_sequences explode arithmetic, total rows =
+# corpus_tokens/seq_len + n_docs). One exchange hash-partitioned on
+# seq_id, per-sequence reassembly sorts the ≤n_docs-per-window
+# fragment list — no global sort, per-group state capped at one
+# sequence.
 @q(
     "corpus_pack_payload",
     f"""
@@ -7880,27 +7883,45 @@ def pack_payload_from(
     )
     pos = _doc_positions(tk.select("doc_id", "ntok"))
     framed = tk.join(pos.select("doc_id", "strt"), "doc_id")
-    tokpos = framed.select(
-        F.col("strt"), F.posexplode("toks")
-    ).select(
-        (F.col("strt") + F.col("pos")).alias("gpos"),
-        F.col("col").alias("tok"),
+    L = F.lit(seq_len)
+    frags = framed.select(
+        "toks",
+        "strt",
+        "ntok",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("strt") / L),
+                F.floor((F.col("strt") + F.col("ntok") - 1) / L),
+            )
+        ).alias("seq_id"),
     )
-    return (
-        tokpos.withColumn(
-            "seq_id", F.floor(F.col("gpos") / F.lit(seq_len))
-        )
-        .groupBy("seq_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("seq_text"),
-        )
+    # global token span this doc contributes to this sequence window
+    lo = F.greatest(F.col("strt"), F.col("seq_id") * L)
+    hi = F.least(
+        F.col("strt") + F.col("ntok") - 1, (F.col("seq_id") + 1) * L - 1
+    )
+    frags = frags.select(
+        "seq_id",
+        lo.alias("lo"),
+        (hi - lo + 1).cast("long").alias("frag_n"),
+        F.array_join(
+            F.slice(
+                "toks",
+                (lo - F.col("strt") + 1).cast("int"),
+                (hi - lo + 1).cast("int"),
+            ),
+            " ",
+        ).alias("frag"),
+    )
+    return frags.groupBy("seq_id").agg(
+        F.sum("frag_n").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lo", "frag"))),
+                lambda s: s["frag"],
+            ),
+        ).alias("seq_text"),
     )
 
 
