@@ -50,12 +50,20 @@ def connected_components_minlabel(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("src", "dst")
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+    # fused init + first superstep: with identity labels, round 1's
+    # message join degenerates to the edge list itself, so label⁽¹⁾ =
+    # min(self, neighbors) comes from ONE partially-aggregated groupBy
+    # — no node-distinct pass, no first join. The fixpoint is unique
+    # (every node ends at its component minimum) and steps are
+    # monotone, so any step schedule reaches the same labels.
+    labels = checkpoint_df(
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
     )
-    labels = checkpoint_df(labels)
     # decimal(38,0), not long: hash-derived 63-bit doc_ids overflow a
     # LongType sum under ANSI (job abort), and at 10^12 sequential ids
     # the true sum exceeds 2^63 anyway; decimal is exact to 10^38 so
