@@ -832,21 +832,19 @@ _MH_MINS_SQL = ", ".join(
     "MinHash+LSH: shingle→minhash sig→band buckets→candidate join",
 )
 def dedup_minhash_bands(spark, sf_dir):
-    # Signatures come from the Arrow kernel (models/signatures.py):
-    # ONE row per doc, no |shingles|-row explode→shuffle→groupBy (the
-    # round-1 plan spent >half the bench building signatures). Band
-    # construction and the candidate join stay native.
-    from eugl_spark.models.signatures import minhash_sig_udf
+    # Signatures are built NATIVELY in the JVM (with_minhash_sig):
+    # one row per doc, no |shingles|-row explode→shuffle→groupBy (the
+    # round-1 trap) and — new this round — no Python boundary either
+    # (the r1-r6 Arrow kernel measured ~2.4× slower than the staged
+    # md5/array_min expressions). Band construction and the candidate
+    # join stay native as before.
+    from eugl_spark.models.signatures import with_minhash_sig
 
     # _shingles already drops shingle-less docs (cheap token-count
-    # filter at the scan), so every row reaching the kernel has ≥1
-    # shingle and no post-UDF null filter is needed — important: a
-    # filter above the UDF is NOT a pushdown barrier; Catalyst inlines
-    # the UDF + shingle tree into a scan-side filter (measured +8s).
+    # filter at the scan), so every row reaching the signature has ≥1
+    # shingle and no post-signature null filter is needed.
     sh = _shingles(spark, sf_dir)
-    sig = sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
-        "doc_id", "_s.*"
-    )
+    sig = with_minhash_sig(sh.select("doc_id", "sh")).drop("sh")
     # one explode, not a union of two selects: the union re-evaluates
     # the whole sig subtree per branch and adds an exchange
     bands = sig.select(
@@ -5408,7 +5406,7 @@ def _dedup_clusters_lsh_from(sh: DataFrame) -> DataFrame:
     """(doc_id, sh) shingle frame → near-dup clusters; the capstone
     feeds it shingles derived from its single materialized tokens
     frame, the registry query from a fresh tokenize of documents."""
-    from eugl_spark.models.signatures import minhash_sig_udf
+    from eugl_spark.models.signatures import with_minhash_sig
 
     # --- exact-dup collapse BEFORE the band join -------------------
     # A crawl's boilerplate pages form huge identical-text families;
@@ -5451,9 +5449,7 @@ def _dedup_clusters_lsh_from(sh: DataFrame) -> DataFrame:
         groups.select("k", "rep", "n_members"), "k"
     )
     rep_sh = groups.select(F.col("rep").alias("doc_id"), "sh")
-    sig = rep_sh.select("doc_id", minhash_sig_udf("sh").alias("_s")).select(
-        "doc_id", "_s.*"
-    )
+    sig = with_minhash_sig(rep_sh).drop("sh")  # JVM-native, no Python
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -7992,7 +7988,7 @@ def decontaminate_fuzzy(spark, sf_dir):
     how large the train corpus grows). Verify joins the two shingle
     ARRAYS per candidate (array_intersect), never the posting lists;
     edge rule shared with the dedup family."""
-    from eugl_spark.models.signatures import minhash_sig_udf
+    from eugl_spark.models.signatures import with_minhash_sig
 
     df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     df = df.repartition(
@@ -8009,9 +8005,7 @@ def decontaminate_fuzzy(spark, sf_dir):
         .join(base.select("doc_id", "split"), "doc_id")
         .filter(F.col("split") != "val")
     )
-    sig = shs.select(
-        "doc_id", "split", minhash_sig_udf("sh").alias("_s")
-    ).select("doc_id", "split", "_s.*")
+    sig = with_minhash_sig(shs).drop("sh")  # JVM-native, no Python
     bands = checkpoint_df(
         sig.select(
             "doc_id",
