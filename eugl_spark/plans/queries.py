@@ -2291,26 +2291,40 @@ def dedup_paragraphs_from(pages: DataFrame) -> DataFrame:
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "par")
     )
     norm = F.lower(F.trim(F.col("par")))
+    # owner ordering as ONE orderable string — url + NUL + zero-padded
+    # pos is order-isomorphic to struct(url, pos) (NUL sorts below any
+    # url char; fixed-width pos preserves numeric order), and min over
+    # a STRING is a declarative aggregate: the ownership pass runs as
+    # a partially-aggregated HashAggregate instead of the SortAggregate
+    # a struct-typed min forces (which sorted every line of the corpus
+    # by hash before aggregating).
+    okey = F.concat(
+        F.col("url"),
+        F.lit("\x00"),
+        F.lpad(F.col("pos").cast("string"), 10, "0"),
+    )
     hx = ex.select(
-        "url", "pos", "par", norm.alias("norm"), _md5_int_col(norm).alias("h")
+        "url",
+        "pos",
+        "par",
+        norm.alias("norm"),
+        _md5_int_col(norm).alias("h"),
+        okey.alias("okey"),
     )
     dup = (
         hx.filter(F.col("norm") != "")
         .groupBy("h")
         .agg(
-            F.min(F.struct("url", "pos")).alias("owner"),
+            F.min("okey").alias("owner_key"),
             F.count("*").alias("cnt"),
         )
         .filter(F.col("cnt") > 1)
-        .select("h", "owner")
+        .select("h", "owner_key")
     )
     keep = (
         (F.col("norm") == "")
-        | F.col("owner").isNull()
-        | (
-            (F.col("url") == F.col("owner.url"))
-            & (F.col("pos") == F.col("owner.pos"))
-        )
+        | F.col("owner_key").isNull()
+        | (F.col("okey") == F.col("owner_key"))
     )
     fl = hx.join(dup, "h", "left").withColumn("keep", keep)
     kept_struct = F.when(F.col("keep"), F.struct("pos", "par"))
