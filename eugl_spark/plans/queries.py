@@ -449,13 +449,24 @@ def qf_repetition_profile(spark, sf_dir):
             F.when((k == "ln") & (cnt > 1), cnt * F.length("g"))
         ).alias("dup_chars"),
         F.sum(F.when(k == "ln", cnt * F.length("g"))).alias("tot_chars"),
-        F.max(
+        # max_by(x, x), not max(x): a struct-typed max is not hash-
+        # aggregable (immutable buffer) and forced this whole pivot
+        # into a SortAggregate over every (doc, gram) row; max_by is
+        # an ObjectHashAggregate — same (cov, g) lexicographic winner,
+        # no sort
+        F.max_by(
             F.when(
                 k == "bg",
                 F.struct(
                     (cnt * (F.length("g") - 1)).alias("cov"), F.col("g")
                 ),
-            )
+            ),
+            F.when(
+                k == "bg",
+                F.struct(
+                    (cnt * (F.length("g") - 1)).alias("cov"), F.col("g")
+                ),
+            ),
         ).alias("top"),
         F.sum(F.when(k == "tg", cnt)).alias("tot3"),
         F.count(F.when(k == "tg", True)).alias("dis3"),
