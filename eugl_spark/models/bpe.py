@@ -195,6 +195,14 @@ def train_bpe_merges(
     words = checkpoint_df(
         base.select(symbolize(F.col("t")).alias("w"), "cnt")
     )
+    # checkpoint CADENCE, not per-step: a replace is a narrow map over
+    # the cached frame, so letting up to 3 pending replaces re-evaluate
+    # from the last materialization is cheaper than an eager barrier
+    # per merge; plan depth stays bounded at 3 supersteps however
+    # large k grows. Merges are bit-identical (a checkpoint is a pure
+    # barrier).
+    _CKPT_EVERY = 3
+    pending = 0
     merges: list[tuple[str, str, int]] = []
     for _ in range(k):
         top = (
@@ -229,11 +237,13 @@ def train_bpe_merges(
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((l, r, c))
         search, repl = merge_pattern(l, r)
-        words = checkpoint_df(
-            words.withColumn(
-                "w", F.replace(F.col("w"), F.lit(search), F.lit(repl))
-            )
+        words = words.withColumn(
+            "w", F.replace(F.col("w"), F.lit(search), F.lit(repl))
         )
+        pending += 1
+        if pending >= _CKPT_EVERY:
+            words = checkpoint_df(words)
+            pending = 0
     return merges
 
 
