@@ -106,6 +106,13 @@ def get_spark(
         # files, so a 50-round CC run would leak ~50 full edge-set
         # copies into the checkpoint dir on long-running jobs
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # shuffled hash join over sort-merge when the per-partition
+        # build side fits (guide §3.1): the band/candidate self-joins
+        # and gram semi-joins are equi-joins of mid-size frames where
+        # skipping both sort passes wins; sort-merge remains the
+        # planner's fallback whenever the size conditions fail, so the
+        # spill-graceful path still exists at scale
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
