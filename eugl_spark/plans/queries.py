@@ -5484,7 +5484,7 @@ def _dedup_clusters_lsh_from(sh: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).transform(checkpoint_df)  # self-join: don't run the signature kernel per side
-    cand = (
+    cand = checkpoint_df(
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -5495,17 +5495,44 @@ def _dedup_clusters_lsh_from(sh: DataFrame) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+    )  # consumed three times below (two prunes + the verify join)
+    # Prune the FAT side before it shuffles (guide §8): the verify
+    # join needs shingle arrays only for docs that appear in some
+    # candidate pair — on a real corpus a small fraction of reps —
+    # but joining rep_sh directly shuffled EVERY rep's array twice.
+    # The semi-join keys are slim int64 id sets; AQE broadcasts them
+    # while they fit, so the array frame is filtered at scan/cache
+    # parallelism and only surviving arrays reach an exchange.
+    a = (
+        rep_sh.join(
+            cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     )
-    a = rep_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = rep_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    c2 = F.size(F.array_intersect("sh_a", "sh_b"))
+    b = (
+        rep_sh.join(
+            cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    )
+    # c2 evaluates ONCE per pair through a Generate barrier (_once):
+    # referenced three times by the edge rule, a plain alias is
+    # inlined by projection collapse and the intersect hash-set build
+    # — the verify stage's dominant cost — ran ~3× per candidate
+    # (measured 3.4 s vs 1.6 s on the 64k-candidate 10× frame).
     # SAME edge rule as the exact path (c >= 2 floor, jaccard rounded
     # to 6dp before the threshold): banded edges must be a strict
     # subset of exact edges, never a superset — the recall test pins
     # `lsh_docs ⊆ exact_docs`
+    c2 = F.col("_c2")
     verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        .withColumn("_c2", _once(F.size(F.array_intersect("sh_a", "sh_b"))))
         .filter(
             (c2 >= 2)
             & (
@@ -8043,7 +8070,7 @@ def decontaminate_fuzzy(spark, sf_dir):
             ).alias("band"),
         )
     )
-    cand = (
+    cand = checkpoint_df(
         bands.filter(F.col("split") == "train")
         .select(F.col("doc_id").alias("tr_id"), "band")
         .join(
@@ -8056,15 +8083,33 @@ def decontaminate_fuzzy(spark, sf_dir):
         )
         .select("tr_id", "te_id")
         .distinct()
+    )  # consumed three times (two prunes + the verify join)
+    # prune the fat shingle frame to candidate members before it
+    # shuffles (the _dedup_clusters_lsh_from recipe — guide §8)
+    sh_a = (
+        shs.join(
+            cand.select(F.col("tr_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("tr_id"), F.col("sh").alias("sh_a"))
     )
-    pair = cand.join(
-        shs.select(F.col("doc_id").alias("tr_id"), F.col("sh").alias("sh_a")),
-        "tr_id",
-    ).join(
-        shs.select(F.col("doc_id").alias("te_id"), F.col("sh").alias("sh_b")),
-        "te_id",
+    sh_b = (
+        shs.join(
+            cand.select(F.col("te_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("te_id"), F.col("sh").alias("sh_b"))
     )
-    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    pair = (
+        cand.join(sh_a, "tr_id")
+        .join(sh_b, "te_id")
+        # Generate barrier: the intersect evaluates once per pair, not
+        # once per reference in the edge rule (_dedup_clusters_lsh_from)
+        .withColumn("_c", _once(F.size(F.array_intersect("sh_a", "sh_b"))))
+    )
+    c = F.col("_c")
     j = F.round(
         F.try_divide(c, F.size("sh_a") + F.size("sh_b") - c), 6
     )
