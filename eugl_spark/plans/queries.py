@@ -2873,8 +2873,13 @@ def crawl_frontier(spark, sf_dir):
     from eugl_spark.operators.graph import pagerank
 
     pages = _link_pages(spark)
-    edges = link_host_edges(pages).select(
-        "src", "dst", F.col("n_links").cast("double").alias("w")
+    # materialized once: consumed by pagerank AND the final referrer
+    # join — left lazy, the anchor-regex extraction over the fat html
+    # column ran twice
+    edges = checkpoint_df(
+        link_host_edges(pages).select(
+            "src", "dst", F.col("n_links").cast("double").alias("w")
+        )
     )
     ranks = pagerank(edges, iters=3, damping=0.85)
     crawled = pages.select(
@@ -3110,8 +3115,12 @@ def graph_components_hosts(spark, sf_dir):
     """Hosts are hashed to int64 with THE shared recipe for the CC
     operator (its fixpoint probe sums labels as decimal), then the
     readable min-host representative is re-derived per component —
-    two O(hosts) aggregations after the O(diameter) superstep loop."""
-    edges = link_host_edges(_link_pages(spark))
+    two O(hosts) aggregations after the O(diameter) superstep loop.
+
+    The edge list materializes once: it feeds the CC pairs AND both
+    union branches of the host dim, so left lazy the anchor-regex
+    extraction over the fat html column ran three times."""
+    edges = checkpoint_df(link_host_edges(_link_pages(spark)))
     pairs = edges.select(
         _md5_int_col(F.col("src")).alias("doc_a"),
         _md5_int_col(F.col("dst")).alias("doc_b"),
