@@ -4451,14 +4451,23 @@ def _lc_dot(wv: Column) -> Column:
 
 
 def _round6_half_up(v: float | None) -> float | None:
-    """Driver-side twin of F.round(col, 6): exact binary expansion of
-    the double, then HALF_UP at 6dp — bit-identical to Catalyst's
-    BigDecimal rounding (and DuckDB's round)."""
+    """Driver-side twin of F.round(col, 6).
+
+    Catalyst's Round on DoubleType goes through
+    ``BigDecimal.valueOf(d)`` — i.e. the double's SHORTEST decimal
+    representation (``Double.toString``), not its exact binary
+    expansion — then HALF_UP. ``repr(float)`` is the same shortest
+    round-trip decimal, so ``Decimal(repr(v))`` reproduces the exact
+    BigDecimal Java sees (Decimal(v) would not: 5e-07's binary value
+    is 4.9999…e-7, which HALF_UPs to 0.0 while F.round yields 1e-06 —
+    pinned by test_round6_half_up_matches_f_round)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     if v is None:
         return None
-    return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
 
 
 def _lc_train(feats: DataFrame) -> DataFrame:
