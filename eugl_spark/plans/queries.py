@@ -7953,7 +7953,10 @@ def corpus_datasheet(spark, sf_dir):
         .agg(F.sum("cnt").alias("cnt"))
         .select(F.lit("(all)").alias("lang"), "n_chars", "cnt")
     )
-    stats = _datasheet_stats(vc).unionByName(_datasheet_stats(all_vc))
+    # ONE stats pass over the per-lang ∪ '(all)' histograms: '(all)'
+    # is just one more lang partition of the same window/aggregate,
+    # so the grand-total row costs no extra jobs
+    stats = _datasheet_stats(vc.unionByName(all_vc))
     total = vc.agg(F.sum("cnt").alias("n"))
     return stats.crossJoin(F.broadcast(total)).select(
         "lang",
