@@ -297,16 +297,23 @@ def test_normalize_unicode_single_arrow_boundary(spark):
     assert "BatchEvalPython" not in p
 
 
-def test_remove_spans_anti_join_no_cartesian(spark, sf_dir):
-    """Removal is the (doc_id, p) LEFT-ANTI equi-join — never a
-    doc×doc product, and the covered-position cut never routes through
-    Python (the whole op is native: the only allowed Python boundary
-    count is zero)."""
+def test_remove_spans_no_cartesian_no_token_explode(spark, sf_dir):
+    """Removal never forms a doc×doc product and never routes through
+    Python; since round 7 the covered-position cut is a per-doc
+    array_except over the aggregated hit frame — the plan must carry
+    the array cut and must NOT re-grow a per-token-position explode
+    (posexplode of `toks`) or the old (doc_id, p) anti-join, both of
+    which shuffled O(corpus tokens) rows."""
     from eugl_spark.plans.queries import REGISTRY
 
     p = _plan(REGISTRY["dedup_remove_spans"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
-    assert "LeftAnti" in p, p
+    assert "array_except" in p, p
+    assert "LeftAnti" not in p, p  # the token-position anti-join is gone
+    # the only generator allowed on the post-hit path is the gram
+    # builder inside _span_hits_from_toks (runs before the hit frame's
+    # checkpoint, so it is not visible in this post-checkpoint plan)
+    assert "posexplode" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
